@@ -1,0 +1,8 @@
+from audiogpt_tpu.parallel.mesh import (  # noqa: F401
+    MeshSpec,
+    make_mesh,
+    shard_batch,
+    replicate,
+    param_sharding,
+    local_batch_slice,
+)
