@@ -1,0 +1,202 @@
+"""BigVGAN generator, TPU-native.
+
+Re-design of the reference's ``BigVGAN``
+(``text_to_audio/Make_An_Audio/vocoder/bigvgan/models.py:133``): HiFi-GAN
+topology with AMP blocks — snake/snakebeta periodic activations wrapped in
+anti-aliased 2× up/downsampling (``alias_free_torch/act.py``, kaiser-sinc
+filters from ``alias_free_torch/filter.py``).
+
+TPU-first: NWC layout; the anti-aliased activation (upsample → snake →
+downsample) is expressed as two depthwise convs around the elementwise snake,
+which XLA fuses into one VPU pass per block; filters are compile-time numpy
+constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from audiogpt_tpu.ops.conv import Conv1d, ConvTranspose1d
+from audiogpt_tpu.registry import VOCODERS
+
+
+@dataclasses.dataclass(frozen=True)
+class BigVGANConfig:
+    num_mels: int = 80
+    upsample_rates: Sequence[int] = (8, 8, 2, 2)
+    upsample_kernel_sizes: Sequence[int] = (16, 16, 4, 4)
+    upsample_initial_channel: int = 512
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    resblock: str = "1"
+    activation: str = "snakebeta"   # 'snake' | 'snakebeta'
+    snake_logscale: bool = True
+    sample_rate: int = 16000
+
+    @property
+    def hop_size(self) -> int:
+        return int(np.prod(self.upsample_rates))
+
+
+# ---------------------------------------------------------------------------
+# kaiser-sinc anti-aliasing filters (compile-time constants)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def kaiser_sinc_filter1d(cutoff: float, half_width: float, kernel_size: int) -> np.ndarray:
+    """Kaiser-windowed sinc lowpass (julius.lowpass formulation, as used by
+    alias_free_torch/filter.py)."""
+    even = kernel_size % 2 == 0
+    half_size = kernel_size // 2
+    delta_f = 4 * half_width
+    a = 2.285 * (half_size - 1) * math.pi * delta_f + 7.95
+    if a > 50.0:
+        beta = 0.1102 * (a - 8.7)
+    elif a >= 21.0:
+        beta = 0.5842 * (a - 21) ** 0.4 + 0.07886 * (a - 21.0)
+    else:
+        beta = 0.0
+    window = np.kaiser(kernel_size, beta)  # symmetric (periodic=False)
+    if even:
+        time = np.arange(-half_size, half_size) + 0.5
+    else:
+        time = np.arange(kernel_size) - half_size
+    if cutoff == 0:
+        f = np.zeros(kernel_size)
+    else:
+        f = 2 * cutoff * window * np.sinc(2 * cutoff * time)
+        f = f / f.sum()
+    return f.astype(np.float32)
+
+
+def _depthwise(x: jnp.ndarray, taps: np.ndarray, stride: int,
+               pad: tuple[int, int], lhs_dilation: int = 1) -> jnp.ndarray:
+    """Depthwise 1-D filter on [B, T, C]."""
+    c = x.shape[-1]
+    k = jnp.tile(jnp.asarray(taps).reshape(-1, 1, 1), (1, 1, c))  # [W,1,C]
+    return jax.lax.conv_general_dilated(
+        x, k.astype(x.dtype),
+        window_strides=(stride,),
+        padding=[pad],
+        lhs_dilation=(lhs_dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=c,
+    )
+
+
+def upsample1d(x: jnp.ndarray, ratio: int = 2, kernel_size: int | None = None) -> jnp.ndarray:
+    """Anti-aliased ratio× upsampling (UpSample1d semantics: replicate pad,
+    transposed depthwise conv with kaiser-sinc kernel, crop)."""
+    k = int(6 * ratio // 2) * 2 if kernel_size is None else kernel_size
+    taps = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, k) * ratio
+    pad = k // ratio - 1
+    pad_left = pad * ratio + (k - ratio) // 2
+    pad_right = pad * ratio + (k - ratio + 1) // 2
+    x = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="edge")
+    # conv_transpose(stride=ratio) == dilated conv with flipped (symmetric) taps
+    y = _depthwise(x, taps, stride=1, pad=(k - 1, k - 1), lhs_dilation=ratio)
+    return y[:, pad_left : y.shape[1] - pad_right, :]
+
+
+def downsample1d(x: jnp.ndarray, ratio: int = 2, kernel_size: int | None = None) -> jnp.ndarray:
+    k = int(6 * ratio // 2) * 2 if kernel_size is None else kernel_size
+    taps = kaiser_sinc_filter1d(0.5 / ratio, 0.6 / ratio, k)
+    even = k % 2 == 0
+    pad_left = k // 2 - int(even)
+    pad_right = k // 2
+    x = jnp.pad(x, ((0, 0), (pad_left, pad_right), (0, 0)), mode="edge")
+    return _depthwise(x, taps, stride=ratio, pad=(0, 0))
+
+
+class SnakeAA(nn.Module):
+    """Anti-aliased snake/snakebeta: up2× → snake → down2×
+    (``alias_free_torch/act.py:Activation1d`` around ``activations.py:Snake``).
+    Per-channel alpha (and beta for snakebeta), optionally log-scale."""
+
+    channels: int
+    variant: str = "snakebeta"
+    logscale: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        init = nn.initializers.zeros if self.logscale else nn.initializers.ones
+        alpha = self.param("alpha", init, (self.channels,), jnp.float32)
+        if self.variant == "snakebeta":
+            beta = self.param("beta", init, (self.channels,), jnp.float32)
+        else:
+            beta = alpha
+        if self.logscale:
+            alpha, beta = jnp.exp(alpha), jnp.exp(beta)
+        x = upsample1d(x, 2)
+        x = x + (1.0 / (beta + 1e-9)) * jnp.sin(x * alpha) ** 2
+        return downsample1d(x, 2)
+
+
+class AMPBlock1(nn.Module):
+    channels: int
+    kernel_size: int
+    dilations: Sequence[int]
+    activation: str
+    logscale: bool
+
+    @nn.compact
+    def __call__(self, x):
+        for d in self.dilations:
+            xt = SnakeAA(self.channels, self.activation, self.logscale)(x)
+            xt = Conv1d(self.channels, self.kernel_size, dilation=d)(xt)
+            xt = SnakeAA(self.channels, self.activation, self.logscale)(xt)
+            xt = Conv1d(self.channels, self.kernel_size, dilation=1)(xt)
+            x = x + xt
+        return x
+
+
+class AMPBlock2(nn.Module):
+    channels: int
+    kernel_size: int
+    dilations: Sequence[int]
+    activation: str
+    logscale: bool
+
+    @nn.compact
+    def __call__(self, x):
+        for d in self.dilations:
+            xt = SnakeAA(self.channels, self.activation, self.logscale)(x)
+            xt = Conv1d(self.channels, self.kernel_size, dilation=d)(xt)
+            x = x + xt
+        return x
+
+
+@VOCODERS.register("bigvgan")
+class BigVGANGenerator(nn.Module):
+    """mel [B, frames, n_mels] → wav [B, samples]."""
+
+    cfg: BigVGANConfig
+
+    @nn.compact
+    def __call__(self, mel):
+        cfg = self.cfg
+        amp = AMPBlock1 if cfg.resblock == "1" else AMPBlock2
+        x = Conv1d(cfg.upsample_initial_channel, 7, padding=3, name="conv_pre")(mel)
+        for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+            ch = cfg.upsample_initial_channel // (2 ** (i + 1))
+            x = ConvTranspose1d(ch, k, u, padding=(k - u) // 2, name=f"up_{i}")(x)
+            acc = None
+            for j, (rk, rd) in enumerate(
+                zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
+            ):
+                out = amp(ch, rk, tuple(rd), cfg.activation, cfg.snake_logscale,
+                          name=f"amp_{i}_{j}")(x)
+                acc = out if acc is None else acc + out
+            x = acc / len(cfg.resblock_kernel_sizes)
+        x = SnakeAA(x.shape[-1], cfg.activation, cfg.snake_logscale, name="act_post")(x)
+        x = Conv1d(1, 7, padding=3, name="conv_post")(x)
+        return jnp.tanh(x)[..., 0]

@@ -1,0 +1,97 @@
+"""1-D conv building blocks in NWC layout (TPU-friendly: channels on lanes).
+
+The reference's vocoders use torch ``weight_norm`` convs everywhere
+(``NeuralSeq/modules/hifigan/hifigan.py:35``). Here weight norm is a
+*parametrization* kept only for training; :func:`fold_weight_norm` bakes g/v
+into a plain kernel for inference (equivalent to the reference's
+``remove_weight_norm``), so the serving path is a single fused conv.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def same_pad(kernel_size: int, dilation: int = 1) -> int:
+    """torch get_padding: SAME padding for stride-1 dilated conv."""
+    return (kernel_size * dilation - dilation) // 2
+
+
+class Conv1d(nn.Module):
+    """Plain 1-D conv, input [B, T, C]. Matches torch Conv1d semantics with
+    explicit symmetric padding."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    dilation: int = 1
+    padding: int | str | None = None  # None -> torch 'same' for stride 1
+    use_bias: bool = True
+    feature_group_count: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.padding is None:
+            pad = same_pad(self.kernel_size, self.dilation)
+        else:
+            pad = self.padding
+        pad_cfg = [(pad, pad)] if isinstance(pad, int) else pad
+        return nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size,),
+            strides=(self.stride,),
+            kernel_dilation=(self.dilation,),
+            padding=pad_cfg if not isinstance(pad, str) else pad,
+            use_bias=self.use_bias,
+            feature_group_count=self.feature_group_count,
+            dtype=x.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class ConvTranspose1d(nn.Module):
+    """Transposed 1-D conv matching torch ConvTranspose1d(k, s, padding=p):
+    out_len = (in_len - 1) * s - 2p + k. Input [B, T, C]."""
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, s, p = self.kernel_size, self.stride, self.padding
+        kernel = self.param(
+            "kernel",
+            nn.initializers.normal(0.01),
+            (k, self.features, x.shape[-1]),  # [W, O, I] for transpose
+            jnp.float32,
+        )
+        # torch conv_transpose == grad of conv: use conv_general_dilated with
+        # lhs_dilation=stride and flipped kernel.
+        # fractionally-strided conv: out = (in-1)*s + 1 + 2*(k-1-p) - (k-1)
+        #                                = (in-1)*s - 2p + k  (torch formula)
+        y = jax.lax.conv_general_dilated(
+            x.astype(kernel.dtype),
+            jnp.flip(kernel, axis=0).transpose(0, 2, 1),  # [W, I, O]
+            window_strides=(1,),
+            padding=[(k - 1 - p, k - 1 - p)],
+            lhs_dilation=(s,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b
+        return y.astype(x.dtype)
+
+
+def fold_weight_norm(g: jnp.ndarray, v: jnp.ndarray, axes: Sequence[int]) -> jnp.ndarray:
+    """w = g * v / ||v|| with the norm over ``axes`` (torch dim=0 semantics
+    translated to the given layout)."""
+    norm = jnp.sqrt(jnp.sum(v * v, axis=tuple(axes), keepdims=True))
+    return g * v / jnp.maximum(norm, 1e-12)

@@ -1,0 +1,109 @@
+"""PyTorch checkpoint → JAX parameter converters.
+
+One converter per model family (SURVEY.md §5 checkpoint plan): the reference's
+trained weights (weight-norm convs, transposed convs, EMA copies) are mapped
+into our flax parameter trees so TPU inference is numerically interchangeable
+with the reference models.
+
+All functions take a flat ``{name: np.ndarray}`` state dict (call
+``{k: v.numpy() for k, v in torch_sd.items()}`` at the torch boundary — this
+module itself never imports torch).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+
+def _fold_wn(sd: Mapping[str, np.ndarray], prefix: str) -> np.ndarray:
+    """Fold torch weight_norm (dim=0): w = g * v / ||v||_{dims≠0}."""
+    if prefix + ".weight" in sd:
+        return np.asarray(sd[prefix + ".weight"])
+    g = np.asarray(sd[prefix + ".weight_g"])
+    v = np.asarray(sd[prefix + ".weight_v"])
+    axes = tuple(range(1, v.ndim))
+    norm = np.sqrt((v * v).sum(axis=axes, keepdims=True))
+    return g * v / np.maximum(norm, 1e-12)
+
+
+def _conv1d(sd, prefix):
+    """torch Conv1d [out,in,W] → flax nn.Conv {kernel [W,in,out], bias}."""
+    w = _fold_wn(sd, prefix)
+    out = {"kernel": w.transpose(2, 1, 0).astype(np.float32)}
+    if prefix + ".bias" in sd:
+        out["bias"] = np.asarray(sd[prefix + ".bias"]).astype(np.float32)
+    return out
+
+
+def _convT1d(sd, prefix):
+    """torch ConvTranspose1d [in,out,W] → ours {kernel [W,out,in], bias}."""
+    w = _fold_wn(sd, prefix)
+    out = {"kernel": w.transpose(2, 1, 0).astype(np.float32)}
+    if prefix + ".bias" in sd:
+        out["bias"] = np.asarray(sd[prefix + ".bias"]).astype(np.float32)
+    return out
+
+
+def convert_hifigan(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """Reference ``HifiGanGenerator`` (NeuralSeq/modules/hifigan/hifigan.py:104)
+    → :class:`audiogpt_tpu.models.vocoder.HifiGANGenerator` params."""
+    sd = {k.removeprefix("model_gen.").removeprefix("generator."): v for k, v in sd.items()}
+    p: dict = {}
+    p["conv_pre"] = {"Conv_0": _conv1d(sd, "conv_pre")}
+    p["conv_post"] = {"Conv_0": _conv1d(sd, "conv_post")}
+    nk = len(cfg.resblock_kernel_sizes)
+    for i in range(len(cfg.upsample_rates)):
+        p[f"up_{i}"] = _convT1d(sd, f"ups.{i}")
+        if cfg.use_nsf and f"noise_convs.{i}.weight" in sd:
+            p[f"noise_conv_{i}"] = {"Conv_0": _conv1d(sd, f"noise_convs.{i}")}
+        for j in range(nk):
+            r = f"resblocks.{i * nk + j}"
+            blk: dict = {}
+            if cfg.resblock == "1":
+                nd = len(cfg.resblock_dilation_sizes[j])
+                for m in range(nd):
+                    blk[f"Conv1d_{2 * m}"] = {"Conv_0": _conv1d(sd, f"{r}.convs1.{m}")}
+                    blk[f"Conv1d_{2 * m + 1}"] = {"Conv_0": _conv1d(sd, f"{r}.convs2.{m}")}
+            else:
+                for m in range(len(cfg.resblock_dilation_sizes[j])):
+                    blk[f"Conv1d_{m}"] = {"Conv_0": _conv1d(sd, f"{r}.convs.{m}")}
+            p[f"res_{i}_{j}"] = blk
+    return {"params": p}
+
+
+def _snake(sd, prefix, variant):
+    out = {"alpha": np.asarray(sd[prefix + ".alpha"]).astype(np.float32)}
+    if variant == "snakebeta":
+        out["beta"] = np.asarray(sd[prefix + ".beta"]).astype(np.float32)
+    return out
+
+
+def convert_bigvgan(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """Reference ``BigVGAN`` (Make_An_Audio/vocoder/bigvgan/models.py:133)
+    → :class:`audiogpt_tpu.models.vocoder.BigVGANGenerator` params."""
+    sd = {k.removeprefix("generator."): v for k, v in sd.items()}
+    p: dict = {}
+    p["conv_pre"] = {"Conv_0": _conv1d(sd, "conv_pre")}
+    p["conv_post"] = {"Conv_0": _conv1d(sd, "conv_post")}
+    p["act_post"] = _snake(sd, "activation_post.act", cfg.activation)
+    nk = len(cfg.resblock_kernel_sizes)
+    for i in range(len(cfg.upsample_rates)):
+        p[f"up_{i}"] = _convT1d(sd, f"ups.{i}.0")
+        for j in range(nk):
+            r = f"resblocks.{i * nk + j}"
+            blk: dict = {}
+            nd = len(cfg.resblock_dilation_sizes[j])
+            if cfg.resblock == "1":
+                for m in range(nd):
+                    blk[f"SnakeAA_{2 * m}"] = _snake(sd, f"{r}.activations.{2 * m}.act", cfg.activation)
+                    blk[f"Conv1d_{2 * m}"] = {"Conv_0": _conv1d(sd, f"{r}.convs1.{m}")}
+                    blk[f"SnakeAA_{2 * m + 1}"] = _snake(sd, f"{r}.activations.{2 * m + 1}.act", cfg.activation)
+                    blk[f"Conv1d_{2 * m + 1}"] = {"Conv_0": _conv1d(sd, f"{r}.convs2.{m}")}
+            else:
+                for m in range(nd):
+                    blk[f"SnakeAA_{m}"] = _snake(sd, f"{r}.activations.{m}.act", cfg.activation)
+                    blk[f"Conv1d_{m}"] = {"Conv_0": _conv1d(sd, f"{r}.convs.{m}")}
+            p[f"amp_{i}_{j}"] = blk
+    return {"params": p}

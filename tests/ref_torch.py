@@ -1,0 +1,77 @@
+"""Harness for importing the READ-ONLY reference PyTorch models in parity
+tests. The reference targets older scipy/librosa APIs; we shim just enough to
+import the modules under test. Reference code is used as a *test oracle* only
+— it is never part of the framework."""
+
+import sys
+import types
+
+_REF = "/root/reference"
+
+
+def _shim_scipy():
+    import scipy.signal
+    import scipy.signal.windows
+
+    if not hasattr(scipy.signal, "kaiser"):
+        scipy.signal.kaiser = scipy.signal.windows.kaiser
+
+
+def _shim_librosa():
+    """Minimal fake so modules that import librosa at top level load; parity
+    tests never call through it."""
+    if "librosa" in sys.modules:
+        return
+    fake = types.ModuleType("librosa")
+    fake.filters = types.ModuleType("librosa.filters")
+    fake.core = types.ModuleType("librosa.core")
+    fake.util = types.ModuleType("librosa.util")
+    sys.modules["librosa"] = fake
+    sys.modules["librosa.filters"] = fake.filters
+    sys.modules["librosa.core"] = fake.core
+    sys.modules["librosa.util"] = fake.util
+
+
+def _shim_omegaconf():
+    if "omegaconf" in sys.modules:
+        return
+    fake = types.ModuleType("omegaconf")
+
+    class _NS(dict):
+        __getattr__ = dict.__getitem__
+
+    class OmegaConf:
+        @staticmethod
+        def create(d):
+            return _NS(d)
+
+        @staticmethod
+        def load(p):
+            import yaml
+
+            with open(p) as f:
+                return _NS(yaml.safe_load(f))
+
+    fake.OmegaConf = OmegaConf
+    sys.modules["omegaconf"] = fake
+
+
+def add_neuralseq_path():
+    _shim_scipy()
+    _shim_librosa()
+    p = f"{_REF}/NeuralSeq"
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+
+def add_mka_path():
+    _shim_scipy()
+    _shim_librosa()
+    _shim_omegaconf()
+    p = f"{_REF}/text_to_audio/Make_An_Audio"
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+
+def state_dict_numpy(module):
+    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
