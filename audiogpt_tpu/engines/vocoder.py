@@ -1,0 +1,98 @@
+"""Vocoder engine: mel [frames, n_mels] → wav, static-shape bucketed, jitted.
+
+Replaces the reference's eager ``HifiGAN.spec2wav``
+(``NeuralSeq/vocoders/hifigan.py:54``) and ``VocoderBigVGAN.vocode``
+(``bigvgan/models.py:406``) with one AOT-compiled engine shared by TTS, SVS,
+and the diffusion tools.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiogpt_tpu.engines.base import Bucketer, Engine
+from audiogpt_tpu.models.vocoder import (
+    BigVGANConfig,
+    BigVGANGenerator,
+    HifiGANConfig,
+    HifiGANGenerator,
+)
+
+DEFAULT_BUCKETS = (128, 256, 512, 1024, 2048)
+
+
+class VocoderEngine(Engine):
+    name = "vocoder"
+
+    def __init__(
+        self,
+        kind: str = "hifigan",
+        cfg: Any = None,
+        params: Any = None,
+        buckets=DEFAULT_BUCKETS,
+        rng_seed: int = 0,
+    ):
+        super().__init__()
+        self.kind = kind
+        if kind == "hifigan":
+            self.cfg = cfg or HifiGANConfig()
+            self.model = HifiGANGenerator(self.cfg)
+        elif kind == "bigvgan":
+            self.cfg = cfg or BigVGANConfig()
+            self.model = BigVGANGenerator(self.cfg)
+        else:
+            raise ValueError(kind)
+        self.n_mels = getattr(self.cfg, "in_channels", None) or getattr(
+            self.cfg, "num_mels", 80
+        )
+        if params is None:
+            dummy = jnp.zeros((1, 16, self.n_mels))
+            if kind == "hifigan" and self.cfg.use_nsf:
+                params = self.model.init(
+                    jax.random.PRNGKey(rng_seed), dummy, jnp.zeros((1, 16))
+                )
+            else:
+                params = self.model.init(jax.random.PRNGKey(rng_seed), dummy)
+        self.params = params
+        self.bucketer = Bucketer(buckets)
+        self._rng = jax.random.PRNGKey(rng_seed)
+
+        if kind == "hifigan" and self.cfg.use_nsf:
+            self._fn = jax.jit(
+                lambda p, m, f0, k: self.model.apply(p, m, f0, rng=k)
+            )
+        else:
+            self._fn = jax.jit(lambda p, m: self.model.apply(p, m))
+
+    @property
+    def hop_size(self) -> int:
+        return self.cfg.hop_size
+
+    def warmup(self, buckets=None) -> None:
+        for b in buckets or self.bucketer.buckets:
+            self.__call__(np.zeros((b, self.n_mels), np.float32))
+
+    def __call__(self, mel: np.ndarray, f0: np.ndarray | None = None) -> np.ndarray:
+        """mel [frames, n_mels] (or [B, frames, n_mels]) → wav [samples]
+        (or [B, samples])."""
+        squeeze = mel.ndim == 2
+        mel = np.asarray(mel, np.float32)
+        if squeeze:
+            mel = mel[None]
+        padded, true_len = self.bucketer.pad_to_bucket(mel, axis=1)
+        if self.kind == "hifigan" and self.cfg.use_nsf:
+            if f0 is None:
+                f0 = np.zeros(mel.shape[:2], np.float32)
+            if f0.ndim == 1:
+                f0 = f0[None]
+            f0p, _ = self.bucketer.pad_to_bucket(np.asarray(f0, np.float32), axis=1)
+            self._rng, k = jax.random.split(self._rng)
+            wav = self._fn(self.params, jnp.asarray(padded), jnp.asarray(f0p), k)
+        else:
+            wav = self._fn(self.params, jnp.asarray(padded))
+        wav = np.asarray(wav)[:, : true_len * self.hop_size]
+        return wav[0] if squeeze else wav
