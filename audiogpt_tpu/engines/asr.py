@@ -1,0 +1,75 @@
+"""ASR engine: waveform → token ids (→ text with a tokenizer).
+
+Mirrors the reference's ASR tool behavior (``audio-chatgpt.py:560-577``):
+load → pad/trim to 30 s → log-mel → decode, with task/language control via
+the forced SOT prompt. All compute after the numpy boundary is two jit
+programs (encoder+prime, scan-decode) per batch-shape bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from audiogpt_tpu.engines.base import Engine
+from audiogpt_tpu.models.asr import (
+    WhisperConfig,
+    WhisperModel,
+    greedy_decode,
+    whisper_log_mel,
+)
+
+# whisper-multilingual special tokens (vocab 51865)
+SOT = 50258
+EOT = 50257
+TASK_TRANSCRIBE = 50359
+TASK_TRANSLATE = 50358
+NO_TIMESTAMPS = 50363
+LANG_BASE = 50259  # + language index (en=0, zh=1, ...)
+
+
+def pad_or_trim(wav: np.ndarray, n_samples: int) -> np.ndarray:
+    wav = np.asarray(wav, np.float32)
+    if wav.shape[-1] >= n_samples:
+        return wav[..., :n_samples]
+    width = [(0, 0)] * (wav.ndim - 1) + [(0, n_samples - wav.shape[-1])]
+    return np.pad(wav, width)
+
+
+class ASREngine(Engine):
+    name = "asr"
+
+    def __init__(self, cfg: WhisperConfig | None = None, params=None,
+                 max_tokens: int = 224, rng_seed: int = 0):
+        super().__init__()
+        self.cfg = cfg or WhisperConfig()
+        self.model = WhisperModel(self.cfg)
+        self.max_tokens = max_tokens
+        if params is None:
+            import jax
+
+            mel = jnp.zeros((1, 2 * self.cfg.n_audio_ctx, self.cfg.n_mels))
+            toks = jnp.zeros((1, 4), jnp.int32)
+            params = self.model.init(jax.random.PRNGKey(rng_seed), mel, toks)
+        self.params = params
+
+    def sot_sequence(self, task: str = "translate", language: int = 0) -> list[int]:
+        """The reference uses whisper's translate task (audio-chatgpt.py:1296)."""
+        task_tok = TASK_TRANSLATE if task == "translate" else TASK_TRANSCRIBE
+        return [SOT, LANG_BASE + language, task_tok, NO_TIMESTAMPS]
+
+    def transcribe_tokens(self, wav: np.ndarray, task: str = "translate",
+                          language: int = 0) -> np.ndarray:
+        """wav [T] or [B, T] @16 kHz → token ids [B, P+max_tokens]."""
+        if wav.ndim == 1:
+            wav = wav[None]
+        wav = pad_or_trim(wav, self.cfg.n_samples)
+        mel = whisper_log_mel(jnp.asarray(wav), self.cfg.n_mels)
+        sot = self.sot_sequence(task, language)
+        prompt = jnp.tile(jnp.asarray(sot, jnp.int32)[None], (wav.shape[0], 1))
+        eot = EOT if self.cfg.n_vocab > EOT else self.cfg.n_vocab - 1
+        toks = greedy_decode(
+            self.model, self.params, mel, prompt,
+            max_tokens=self.max_tokens, eot_id=eot,
+        )
+        return np.asarray(toks)

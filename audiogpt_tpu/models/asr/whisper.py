@@ -1,0 +1,286 @@
+"""Whisper-class ASR encoder-decoder, TPU-native.
+
+The reference uses the openai-whisper pip wheel eagerly
+(``audio-chatgpt.py:560-577``: ``whisper.load_model('base')``, pad/trim to
+30 s, translate task). Here the same architecture is a flax model with:
+
+  * the exact Whisper log-mel frontend as a jnp function
+    (n_fft 400, hop 160, 80 mels, drop last frame, dynamic-range clamp),
+  * a static-shape KV cache and a ``lax.scan`` greedy decode loop — one
+    compiled program for the entire transcription, no per-token dispatch,
+  * weight layout compatible with HF ``WhisperModel`` checkpoints via
+    :func:`audiogpt_tpu.utils.torch_import` (so openai weights can be loaded
+    once converted).
+
+Config default is whisper-base (the model the reference serves).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from audiogpt_tpu.dsp.mel import mel_filterbank
+from audiogpt_tpu.dsp.stft import spectrogram
+from audiogpt_tpu.ops.attention import KVCache, attention
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperConfig:
+    n_mels: int = 80
+    n_audio_ctx: int = 1500          # encoder positions (30 s / 2 / 10ms)
+    n_audio_state: int = 512         # base
+    n_audio_head: int = 8
+    n_audio_layer: int = 6
+    n_vocab: int = 51865
+    n_text_ctx: int = 448
+    n_text_state: int = 512
+    n_text_head: int = 8
+    n_text_layer: int = 6
+    sample_rate: int = 16000
+    chunk_length: int = 30           # seconds
+
+    @property
+    def n_samples(self) -> int:
+        return self.sample_rate * self.chunk_length
+
+
+# ---------------------------------------------------------------------------
+# Frontend (whisper/audio.py semantics)
+# ---------------------------------------------------------------------------
+
+
+def whisper_log_mel(wav: jnp.ndarray, n_mels: int = 80) -> jnp.ndarray:
+    """wav [..., n_samples] @16 kHz → log-mel [..., frames, n_mels].
+
+    Matches whisper's ``log_mel_spectrogram``: |stft(400,160,hann)|² with the
+    final frame dropped, slaney mel (fmin 0, fmax 8000), log10 clamped at
+    1e-10, dynamic-range floor at max−8, then (x+4)/4.
+    """
+    power = spectrogram(wav, 400, 160, 400, center=True, pad_mode="reflect", power=2.0)
+    power = power[..., :-1, :]  # whisper drops the last frame
+    fb = jnp.asarray(mel_filterbank(16000, 400, n_mels, 0.0, 8000.0))
+    mel = jnp.matmul(power, fb, preferred_element_type=jnp.float32)
+    log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
+    floor = jnp.max(log_spec, axis=(-2, -1), keepdims=True) - 8.0
+    log_spec = jnp.maximum(log_spec, floor)
+    return (log_spec + 4.0) / 4.0
+
+
+def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.ndarray:
+    """Whisper's fixed sinusoidal encoder positions."""
+    log_timescale_increment = np.log(max_timescale) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2))
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)], axis=1).astype(
+        np.float32
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+
+class MHA(nn.Module):
+    """Whisper attention: q/v/out have bias, k doesn't."""
+
+    d_model: int
+    n_head: int
+
+    def setup(self):
+        d = self.d_model
+        self.q_proj = nn.Dense(d, name="q")
+        self.k_proj = nn.Dense(d, use_bias=False, name="k")
+        self.v_proj = nn.Dense(d, name="v")
+        self.out_proj = nn.Dense(d, name="out")
+
+    def _split(self, x):
+        b, t, _ = x.shape
+        return x.reshape(b, t, self.n_head, self.d_model // self.n_head)
+
+    def __call__(self, x, kv=None, is_causal=False, cache: KVCache | None = None,
+                 mask=None):
+        """``kv=None`` → self-attention. With ``cache`` (decode), the K/V of
+        the current tokens are appended and attention spans the cache."""
+        q = self._split(self.q_proj(x))
+        src = x if kv is None else kv
+        k = self._split(self.k_proj(src))
+        v = self._split(self.v_proj(src))
+        new_cache = None
+        if cache is not None:
+            new_cache = cache.update(k, v)
+            k, v = new_cache.k, new_cache.v
+            # valid-length mask over the cache
+            t_k = k.shape[1]
+            pos = jnp.arange(t_k)[None, None, None, :]
+            mask = pos < new_cache.index
+        out = attention(q, k, v, mask=mask, is_causal=is_causal and cache is None)
+        b, t, _, _ = out.shape
+        out = self.out_proj(out.reshape(b, t, self.d_model))
+        return (out, new_cache) if cache is not None else out
+
+
+class ResidualBlock(nn.Module):
+    """Pre-LN transformer block; optional cross-attention (decoder)."""
+
+    d_model: int
+    n_head: int
+    cross: bool = False
+
+    def setup(self):
+        self.attn = MHA(self.d_model, self.n_head, name="attn")
+        self.attn_ln = nn.LayerNorm(epsilon=1e-5, name="attn_ln")
+        if self.cross:
+            self.cross_attn = MHA(self.d_model, self.n_head, name="cross_attn")
+            self.cross_attn_ln = nn.LayerNorm(epsilon=1e-5, name="cross_attn_ln")
+        self.mlp_ln = nn.LayerNorm(epsilon=1e-5, name="mlp_ln")
+        self.fc1 = nn.Dense(self.d_model * 4, name="fc1")
+        self.fc2 = nn.Dense(self.d_model, name="fc2")
+
+    def __call__(self, x, xa=None, self_cache: KVCache | None = None, is_causal=False):
+        if self_cache is not None:
+            h, self_cache = self.attn(self.attn_ln(x), cache=self_cache)
+            x = x + h
+        else:
+            x = x + self.attn(self.attn_ln(x), is_causal=is_causal)
+        if self.cross:
+            x = x + self.cross_attn(self.cross_attn_ln(x), kv=xa)
+        x = x + self.fc2(jax.nn.gelu(self.fc1(self.mlp_ln(x)), approximate=False))
+        return (x, self_cache) if self_cache is not None else x
+
+
+class WhisperEncoder(nn.Module):
+    cfg: WhisperConfig
+
+    @nn.compact
+    def __call__(self, mel):
+        """mel [B, frames(=2*ctx), n_mels] → [B, ctx, d]."""
+        cfg = self.cfg
+        d = cfg.n_audio_state
+        x = nn.Conv(d, (3,), padding=1, name="conv1")(mel)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Conv(d, (3,), strides=(2,), padding=1, name="conv2")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = x + jnp.asarray(sinusoids(cfg.n_audio_ctx, d))[: x.shape[1]]
+        for i in range(cfg.n_audio_layer):
+            x = ResidualBlock(d, cfg.n_audio_head, name=f"block_{i}")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="ln_post")(x)
+
+
+class WhisperDecoder(nn.Module):
+    cfg: WhisperConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.token_embedding = nn.Embed(cfg.n_vocab, cfg.n_text_state,
+                                        name="token_embedding")
+        self.positional_embedding = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.01),
+            (cfg.n_text_ctx, cfg.n_text_state),
+        )
+        self.blocks = [
+            ResidualBlock(cfg.n_text_state, cfg.n_text_head, cross=True,
+                          name=f"block_{i}")
+            for i in range(cfg.n_text_layer)
+        ]
+        self.ln = nn.LayerNorm(epsilon=1e-5, name="ln")
+
+    def __call__(self, tokens, xa, pos_offset=0, caches=None):
+        """tokens [B, t] + encoder states xa [B, ctx, d] → logits [B, t, vocab].
+
+        With ``caches`` (list of per-layer KVCache), runs incremental decode;
+        returns (logits, new_caches).
+        """
+        x = self.token_embedding(tokens)
+        x = x + jax.lax.dynamic_slice_in_dim(
+            self.positional_embedding, pos_offset, tokens.shape[1], axis=0
+        )
+        new_caches = [] if caches is not None else None
+        for i, blk in enumerate(self.blocks):
+            if caches is not None:
+                x, c = blk(x, xa=xa, self_cache=caches[i])
+                new_caches.append(c)
+            else:
+                x = blk(x, xa=xa, is_causal=True)
+        x = self.ln(x)
+        logits = x @ self.token_embedding.embedding.T
+        return (logits, new_caches) if caches is not None else logits
+
+
+class WhisperModel(nn.Module):
+    cfg: WhisperConfig
+
+    def setup(self):
+        self.encoder = WhisperEncoder(self.cfg, name="encoder")
+        self.decoder = WhisperDecoder(self.cfg, name="decoder")
+
+    def __call__(self, mel, tokens):
+        xa = self.encoder(mel)
+        return self.decoder(tokens, xa)
+
+    def encode(self, mel):
+        return self.encoder(mel)
+
+    def decode_step(self, tokens, xa, pos_offset, caches):
+        return self.decoder(tokens, xa, pos_offset=pos_offset, caches=caches)
+
+
+# ---------------------------------------------------------------------------
+# Greedy decode as one compiled program
+# ---------------------------------------------------------------------------
+
+
+def greedy_decode(
+    model: WhisperModel,
+    params,
+    mel: jnp.ndarray,
+    prompt: jnp.ndarray,       # [B, P] forced prefix (SOT sequence)
+    max_tokens: int,
+    eot_id: int,
+) -> jnp.ndarray:
+    """Returns tokens [B, P+max_tokens] with EOT-padding after stop.
+
+    The sampler loop is a ``lax.scan`` over token positions inside one jit —
+    the per-step UNet...decoder forward reuses the static KV cache (contrast:
+    the reference's python for-loop over whisper's decode).
+    """
+    cfg = model.cfg
+    b, p = prompt.shape
+    heads, d = cfg.n_text_head, cfg.n_text_state // cfg.n_text_head
+    total = p + max_tokens
+
+    @jax.jit
+    def run(params, mel, prompt):
+        xa = model.apply(params, mel, method=WhisperModel.encode)
+        caches = [
+            KVCache.create(b, total, heads, d) for _ in range(cfg.n_text_layer)
+        ]
+        # prime with the prompt
+        logits, caches = model.apply(
+            params, prompt, xa, 0, caches, method=WhisperModel.decode_step
+        )
+        last = jnp.argmax(logits[:, -1], axis=-1)  # [B]
+
+        def step(carry, i):
+            last, caches, done = carry
+            tok = jnp.where(done, eot_id, last)
+            logits, caches = model.apply(
+                params, tok[:, None], xa, p + i, caches,
+                method=WhisperModel.decode_step,
+            )
+            nxt = jnp.argmax(logits[:, -1], axis=-1)
+            done = done | (tok == eot_id)
+            return (nxt, caches, done), tok
+
+        (_, _, _), toks = jax.lax.scan(
+            step, (last, caches, jnp.zeros((b,), bool)), jnp.arange(max_tokens)
+        )
+        return jnp.concatenate([prompt, toks.T], axis=1)
+
+    return run(params, mel, prompt)

@@ -107,3 +107,101 @@ def convert_bigvgan(sd: Mapping[str, np.ndarray], cfg) -> dict:
                     blk[f"Conv1d_{m}"] = {"Conv_0": _conv1d(sd, f"{r}.convs.{m}")}
             p[f"amp_{i}_{j}"] = blk
     return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# Whisper (HF `WhisperModel` or openai-whisper naming)
+# ---------------------------------------------------------------------------
+
+_OAI2HF = {
+    ".attn.query.": ".self_attn.q_proj.",
+    ".attn.key.": ".self_attn.k_proj.",
+    ".attn.value.": ".self_attn.v_proj.",
+    ".attn.out.": ".self_attn.out_proj.",
+    ".attn_ln.": ".self_attn_layer_norm.",
+    ".cross_attn.query.": ".encoder_attn.q_proj.",
+    ".cross_attn.key.": ".encoder_attn.k_proj.",
+    ".cross_attn.value.": ".encoder_attn.v_proj.",
+    ".cross_attn.out.": ".encoder_attn.out_proj.",
+    ".cross_attn_ln.": ".encoder_attn_layer_norm.",
+    ".mlp.0.": ".fc1.",
+    ".mlp.2.": ".fc2.",
+    ".mlp_ln.": ".final_layer_norm.",
+    ".blocks.": ".layers.",
+    "decoder.token_embedding.weight": "decoder.embed_tokens.weight",
+    "decoder.positional_embedding": "decoder.embed_positions.weight",
+    "encoder.positional_embedding": "encoder.embed_positions.weight",
+    "encoder.ln_post.": "encoder.layer_norm.",
+    "decoder.ln.": "decoder.layer_norm.",
+}
+
+
+def _whisper_to_hf_names(sd):
+    out = {}
+    for k, v in sd.items():
+        k = k.removeprefix("model.")
+        for a, b in _OAI2HF.items():
+            k = k.replace(a, b)
+        out[k] = np.asarray(v)
+    return out
+
+
+def _dense(sd, prefix):
+    out = {"kernel": np.asarray(sd[prefix + ".weight"]).T.astype(np.float32)}
+    if prefix + ".bias" in sd:
+        out["bias"] = np.asarray(sd[prefix + ".bias"]).astype(np.float32)
+    return out
+
+
+def _ln(sd, prefix):
+    return {
+        "scale": np.asarray(sd[prefix + ".weight"]).astype(np.float32),
+        "bias": np.asarray(sd[prefix + ".bias"]).astype(np.float32),
+    }
+
+
+def _whisper_mha(sd, prefix):
+    return {
+        "q": _dense(sd, prefix + ".q_proj"),
+        "k": _dense(sd, prefix + ".k_proj"),
+        "v": _dense(sd, prefix + ".v_proj"),
+        "out": _dense(sd, prefix + ".out_proj"),
+    }
+
+
+def convert_whisper(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """HF/openai Whisper → :class:`audiogpt_tpu.models.asr.WhisperModel`."""
+    sd = _whisper_to_hf_names(dict(sd))
+    enc: dict = {
+        "conv1": _conv1d(sd, "encoder.conv1"),
+        "conv2": _conv1d(sd, "encoder.conv2"),
+        "ln_post": _ln(sd, "encoder.layer_norm"),
+    }
+    for i in range(cfg.n_audio_layer):
+        l = f"encoder.layers.{i}"
+        enc[f"block_{i}"] = {
+            "attn": _whisper_mha(sd, f"{l}.self_attn"),
+            "attn_ln": _ln(sd, f"{l}.self_attn_layer_norm"),
+            "fc1": _dense(sd, f"{l}.fc1"),
+            "fc2": _dense(sd, f"{l}.fc2"),
+            "mlp_ln": _ln(sd, f"{l}.final_layer_norm"),
+        }
+    dec: dict = {
+        "token_embedding": {
+            "embedding": np.asarray(sd["decoder.embed_tokens.weight"]).astype(np.float32)
+        },
+        "positional_embedding": np.asarray(sd["decoder.embed_positions.weight"]).astype(np.float32),
+        "ln": _ln(sd, "decoder.layer_norm"),
+    }
+    for i in range(cfg.n_text_layer):
+        l = f"decoder.layers.{i}"
+        dec[f"block_{i}"] = {
+            "attn": _whisper_mha(sd, f"{l}.self_attn"),
+            "attn_ln": _ln(sd, f"{l}.self_attn_layer_norm"),
+            "cross_attn": _whisper_mha(sd, f"{l}.encoder_attn"),
+            "cross_attn_ln": _ln(sd, f"{l}.encoder_attn_layer_norm"),
+            "fc1": _dense(sd, f"{l}.fc1"),
+            "fc2": _dense(sd, f"{l}.fc2"),
+            "mlp_ln": _ln(sd, f"{l}.final_layer_norm"),
+        }
+    return {"params": {"encoder": enc, "decoder": dec}}

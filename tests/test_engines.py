@@ -43,3 +43,19 @@ class TestVocoderEngine:
         eng = VocoderEngine("hifigan", buckets=(16,))
         wav = eng(np.zeros((3, 10, 80), np.float32))
         assert wav.shape == (3, 10 * eng.hop_size)
+
+
+class TestASREngine:
+    def test_transcribe_tokens_shape(self):
+        from audiogpt_tpu.engines.asr import ASREngine
+        from audiogpt_tpu.models.asr import WhisperConfig
+
+        cfg = WhisperConfig(
+            n_audio_ctx=50, n_audio_state=32, n_audio_head=2, n_audio_layer=1,
+            n_vocab=100, n_text_ctx=16, n_text_state=32, n_text_head=2,
+            n_text_layer=1, chunk_length=1,
+        )
+        eng = ASREngine(cfg, max_tokens=8)
+        wav = np.zeros(16000, np.float32)
+        toks = eng.transcribe_tokens(wav)
+        assert toks.shape == (1, 4 + 8)
