@@ -205,3 +205,63 @@ def convert_whisper(sd: Mapping[str, np.ndarray], cfg) -> dict:
             "mlp_ln": _ln(sd, f"{l}.final_layer_norm"),
         }
     return {"params": {"encoder": enc, "decoder": dec}}
+
+
+# ---------------------------------------------------------------------------
+# FastSpeech2 (NeuralSeq/modules/fastspeech/fs2.py)
+# ---------------------------------------------------------------------------
+
+
+def _fft_blocks(sd, prefix, n_layers, last_norm=True, pos_alpha=False):
+    out: dict = {}
+    if pos_alpha:
+        out["pos_alpha"] = np.asarray(sd[f"{prefix}.pos_embed_alpha"]).astype(np.float32)
+    for i in range(n_layers):
+        l = f"{prefix}.layers.{i}.op"
+        out[f"layer_{i}"] = {
+            "ln1": _ln(sd, f"{l}.layer_norm1"),
+            "ln2": _ln(sd, f"{l}.layer_norm2"),
+            "attn": {
+                "in_proj": {"kernel": np.asarray(sd[f"{l}.self_attn.in_proj_weight"]).T.astype(np.float32)},
+                "out_proj": {"kernel": np.asarray(sd[f"{l}.self_attn.out_proj.weight"]).T.astype(np.float32)},
+            },
+            "ffn_conv": _conv1d(sd, f"{l}.ffn.ffn_1"),
+            "ffn_out": _dense(sd, f"{l}.ffn.ffn_2"),
+        }
+    if last_norm:
+        out["ln"] = _ln(sd, f"{prefix}.layer_norm")
+    return out
+
+
+def _conv_predictor(sd, prefix, n_layers, pos_alpha=False):
+    out: dict = {"out": _dense(sd, f"{prefix}.linear")}
+    if pos_alpha:
+        out["pos_alpha"] = np.asarray(sd[f"{prefix}.pos_embed_alpha"]).astype(np.float32)
+    for i in range(n_layers):
+        out[f"conv_{i}"] = _conv1d(sd, f"{prefix}.conv.{i}.1")
+        out[f"ln_{i}"] = _ln(sd, f"{prefix}.conv.{i}.3")
+    return out
+
+
+def convert_fastspeech2(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """Reference ``FastSpeech2`` (fs2.py:22) → ours. Handles the 'model.'
+    prefix of NeuralSeq task checkpoints."""
+    sd = {k.removeprefix("model."): np.asarray(v) for k, v in sd.items()}
+    p: dict = {
+        "embed_tokens": {"embedding": sd["encoder_embed_tokens.weight"].astype(np.float32)},
+        "encoder": _fft_blocks(sd, "encoder", cfg.enc_layers),
+        "decoder": _fft_blocks(sd, "decoder", cfg.dec_layers, pos_alpha=True),
+        "mel_out": _dense(sd, "mel_out"),
+        "dur_predictor": _conv_predictor(sd, "dur_predictor", cfg.dur_predictor_layers),
+    }
+    if cfg.use_pitch_embed:
+        p["pitch_embed"] = {"embedding": sd["pitch_embed.weight"].astype(np.float32)}
+        p["pitch_predictor"] = _conv_predictor(
+            sd, "pitch_predictor", cfg.predictor_layers, pos_alpha=True)
+    if cfg.use_energy_embed:
+        p["energy_embed"] = {"embedding": sd["energy_embed.weight"].astype(np.float32)}
+        p["energy_predictor"] = _conv_predictor(
+            sd, "energy_predictor", cfg.predictor_layers, pos_alpha=True)
+    if cfg.num_spk > 0 and "spk_embed_proj.weight" in sd:
+        p["spk_embed"] = {"embedding": sd["spk_embed_proj.weight"].astype(np.float32)}
+    return {"params": p}

@@ -22,10 +22,17 @@ def _shim_librosa():
     tests never call through it."""
     if "librosa" in sys.modules:
         return
-    fake = types.ModuleType("librosa")
-    fake.filters = types.ModuleType("librosa.filters")
-    fake.core = types.ModuleType("librosa.core")
-    fake.util = types.ModuleType("librosa.util")
+    import importlib.machinery
+
+    def _mod(name):
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        return m
+
+    fake = _mod("librosa")
+    fake.filters = _mod("librosa.filters")
+    fake.core = _mod("librosa.core")
+    fake.util = _mod("librosa.util")
     sys.modules["librosa"] = fake
     sys.modules["librosa.filters"] = fake.filters
     sys.modules["librosa.core"] = fake.core
@@ -56,9 +63,19 @@ def _shim_omegaconf():
     sys.modules["omegaconf"] = fake
 
 
+def _shim_pycwt():
+    if "pycwt" in sys.modules:
+        return
+    fake = types.ModuleType("pycwt")
+    fake.wavelet = types.ModuleType("pycwt.wavelet")
+    sys.modules["pycwt"] = fake
+    sys.modules["pycwt.wavelet"] = fake.wavelet
+
+
 def add_neuralseq_path():
     _shim_scipy()
     _shim_librosa()
+    _shim_pycwt()
     p = f"{_REF}/NeuralSeq"
     if p not in sys.path:
         sys.path.insert(0, p)
