@@ -59,3 +59,30 @@ class TestASREngine:
         wav = np.zeros(16000, np.float32)
         toks = eng.transcribe_tokens(wav)
         assert toks.shape == (1, 4 + 8)
+
+
+class TestTTSEngine:
+    def test_text_to_wav_e2e(self):
+        from audiogpt_tpu.engines.tts import TTSEngine
+        from audiogpt_tpu.engines.vocoder import VocoderEngine
+        from audiogpt_tpu.models.tts import FastSpeech2Config
+        from audiogpt_tpu.models.vocoder import HifiGANConfig
+
+        voc = VocoderEngine(
+            "hifigan",
+            HifiGANConfig(upsample_initial_channel=32,
+                          resblock_kernel_sizes=(3,),
+                          resblock_dilation_sizes=((1, 3),)),
+            buckets=(64, 128),
+        )
+        eng = TTSEngine(
+            cfg=FastSpeech2Config(vocab_size=128, hidden_size=32, enc_layers=1,
+                                  dec_layers=1, predictor_layers=2,
+                                  max_frames=128),
+            vocoder=voc,
+            token_buckets=(32,),
+        )
+        wav = eng("hello world")
+        assert wav.ndim == 1 and len(wav) > 0
+        assert np.isfinite(wav).all()
+        assert eng.sample_rate == 22050
