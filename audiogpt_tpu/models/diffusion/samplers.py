@@ -1,0 +1,245 @@
+"""Diffusion schedules + fused samplers (DDIM / PLMS / DDPM).
+
+Re-design of the reference's python-loop samplers
+(``ldm/models/diffusion/ddim.py:118`` ``ddim_sampling``, ``plms.py``):
+
+  * the step loop is a ``lax.scan`` inside ONE jit program — no per-step
+    python dispatch, schedule tensors are scan inputs,
+  * classifier-free guidance batches the (uncond, cond) pair into a single
+    2N-batch UNet call (the reference runs ``torch.cat`` the same way but
+    crosses the python boundary each step, ddim.py:183-187),
+  * inpainting's mask-blend happens inside the scan body (ddim.py:148-151).
+
+Schedule math mirrors LDM exactly: sqrt-linear betas
+(linear_start 0.00085 → linear_end 0.012, T=1000), uniform DDIM subsequence
+``range(0, T, T//S) + 1``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionSchedule:
+    betas: np.ndarray
+    alphas_cumprod: np.ndarray
+
+    @classmethod
+    def linear(cls, timesteps: int = 1000, linear_start: float = 0.00085,
+               linear_end: float = 0.0120) -> "DiffusionSchedule":
+        betas = np.linspace(linear_start ** 0.5, linear_end ** 0.5, timesteps,
+                            dtype=np.float64) ** 2
+        alphas = 1.0 - betas
+        return cls(betas.astype(np.float32), np.cumprod(alphas).astype(np.float32))
+
+    @classmethod
+    def cosine(cls, timesteps: int, s: float = 0.008) -> "DiffusionSchedule":
+        steps = np.arange(timesteps + 1, dtype=np.float64) / timesteps
+        f = np.cos((steps + s) / (1 + s) * np.pi / 2) ** 2
+        acum = f / f[0]
+        betas = np.clip(1 - acum[1:] / acum[:-1], 0, 0.999)
+        return cls(betas.astype(np.float32), np.cumprod(1 - betas).astype(np.float32))
+
+    @property
+    def num_timesteps(self) -> int:
+        return len(self.betas)
+
+    def q_sample(self, x0, t, noise):
+        """Forward noising at (integer array) timestep t."""
+        a = jnp.asarray(self.alphas_cumprod)[t]
+        shape = (-1,) + (1,) * (x0.ndim - 1)
+        return (jnp.sqrt(a).reshape(shape) * x0
+                + jnp.sqrt(1.0 - a).reshape(shape) * noise)
+
+    def ddim_steps(self, n_steps: int, eta: float = 0.0):
+        """(timesteps, alphas, alphas_prev, sigmas) for a DDIM run
+        (ddim.py:27-57 ``make_schedule``)."""
+        c = self.num_timesteps // n_steps
+        ts = np.asarray(list(range(0, self.num_timesteps, c))) + 1
+        ts = np.clip(ts, 0, self.num_timesteps - 1)
+        a = self.alphas_cumprod[ts]
+        a_prev = np.concatenate([[self.alphas_cumprod[0]], a[:-1]])
+        sigmas = eta * np.sqrt((1 - a_prev) / (1 - a) * (1 - a / a_prev))
+        return ts.astype(np.int32), a.astype(np.float32), a_prev.astype(np.float32), sigmas.astype(np.float32)
+
+
+def _bcast(v, ndim):
+    return v.reshape((-1,) + (1,) * (ndim - 1))
+
+
+def ddim_sample(
+    eps_fn: Callable,            # (x, t[B], context) -> eps
+    schedule: DiffusionSchedule,
+    shape: tuple,                # (B, H, W, C)
+    context: jnp.ndarray,        # [B, L, D] conditioning
+    uncond_context: jnp.ndarray | None,
+    rng: jax.Array,
+    n_steps: int = 100,
+    guidance_scale: float = 1.0,
+    eta: float = 0.0,
+    x_T: jnp.ndarray | None = None,
+    mask: jnp.ndarray | None = None,   # inpaint: 1 = keep original
+    x0: jnp.ndarray | None = None,     # inpaint: original latent
+) -> jnp.ndarray:
+    """One compiled DDIM run. CFG doubles the batch inside eps_fn calls."""
+    ts, a, a_prev, sigmas = schedule.ddim_steps(n_steps, eta)
+    b = shape[0]
+    rng, k0 = jax.random.split(rng)
+    img = x_T if x_T is not None else jax.random.normal(k0, shape)
+
+    use_cfg = guidance_scale != 1.0 and uncond_context is not None
+
+    def eps_with_cfg(x, t_scalar):
+        t_vec = jnp.full((b,), t_scalar, jnp.int32)
+        if not use_cfg:
+            return eps_fn(x, t_vec, context)
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.concatenate([t_vec, t_vec], axis=0)
+        c2 = jnp.concatenate([uncond_context, context], axis=0)
+        e = eps_fn(x2, t2, c2)
+        e_uc, e_c = jnp.split(e, 2, axis=0)
+        return e_uc + guidance_scale * (e_c - e_uc)
+
+    # iterate from the last (noisiest) step down (time_range reversed,
+    # ddim.py:127)
+    steps = {
+        "t": jnp.asarray(ts)[::-1],
+        "a": jnp.asarray(a)[::-1],
+        "a_prev": jnp.asarray(a_prev)[::-1],
+        "sigma": jnp.asarray(sigmas)[::-1],
+        "key": jax.random.split(rng, len(ts)),
+    }
+
+    def body(img, step):
+        if mask is not None and x0 is not None:
+            noise_k, step_k = jax.random.split(step["key"])
+            t_vec = jnp.full((b,), step["t"], jnp.int32)
+            img_orig = schedule.q_sample(
+                x0, t_vec, jax.random.normal(noise_k, img.shape))
+            img = img_orig * mask + (1.0 - mask) * img
+        else:
+            step_k = step["key"]
+        e_t = eps_with_cfg(img, step["t"])
+        at, at_prev, sg = step["a"], step["a_prev"], step["sigma"]
+        pred_x0 = (img - jnp.sqrt(1.0 - at) * e_t) / jnp.sqrt(at)
+        dir_xt = jnp.sqrt(jnp.maximum(1.0 - at_prev - sg ** 2, 0.0)) * e_t
+        noise = sg * jax.random.normal(step_k, img.shape)
+        img = jnp.sqrt(at_prev) * pred_x0 + dir_xt + noise
+        return img, None
+
+    img, _ = jax.lax.scan(body, img, steps)
+    if mask is not None and x0 is not None:
+        img = x0 * mask + (1.0 - mask) * img
+    return img
+
+
+def plms_sample(
+    eps_fn: Callable,
+    schedule: DiffusionSchedule,
+    shape: tuple,
+    context: jnp.ndarray,
+    uncond_context: jnp.ndarray | None,
+    rng: jax.Array,
+    n_steps: int = 100,
+    guidance_scale: float = 1.0,
+    x_T: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """PLMS (pseudo linear multi-step, ``plms.py``): Adams-Bashforth over the
+    eps history; fixed 3-deep history in the scan carry."""
+    ts, a, a_prev, _ = schedule.ddim_steps(n_steps, eta=0.0)
+    b = shape[0]
+    rng, k0 = jax.random.split(rng)
+    img = x_T if x_T is not None else jax.random.normal(k0, shape)
+    use_cfg = guidance_scale != 1.0 and uncond_context is not None
+
+    def eps_with_cfg(x, t_scalar):
+        t_vec = jnp.full((b,), t_scalar, jnp.int32)
+        if not use_cfg:
+            return eps_fn(x, t_vec, context)
+        e = eps_fn(
+            jnp.concatenate([x, x], 0),
+            jnp.concatenate([t_vec, t_vec], 0),
+            jnp.concatenate([uncond_context, context], 0),
+        )
+        e_uc, e_c = jnp.split(e, 2, axis=0)
+        return e_uc + guidance_scale * (e_c - e_uc)
+
+    def x_prev_from(img, e, at, at_prev):
+        pred_x0 = (img - jnp.sqrt(1.0 - at) * e) / jnp.sqrt(at)
+        return jnp.sqrt(at_prev) * pred_x0 + jnp.sqrt(1.0 - at_prev) * e
+
+    steps = {
+        "t": jnp.asarray(ts)[::-1],
+        "a": jnp.asarray(a)[::-1],
+        "a_prev": jnp.asarray(a_prev)[::-1],
+        "i": jnp.arange(len(ts)),
+    }
+
+    def body(carry, step):
+        img, hist = carry  # hist: [3, ...] most-recent-first
+        e_t = eps_with_cfg(img, step["t"])
+        i = step["i"]
+        e1 = (3 * e_t - hist[0]) / 2
+        e2 = (23 * e_t - 16 * hist[0] + 5 * hist[1]) / 12
+        e3 = (55 * e_t - 59 * hist[0] + 37 * hist[1] - 9 * hist[2]) / 24
+        e_prime = jnp.where(
+            i == 0, e_t, jnp.where(i == 1, e1, jnp.where(i == 2, e2, e3))
+        )
+        img = x_prev_from(img, e_prime, step["a"], step["a_prev"])
+        hist = jnp.concatenate([e_t[None], hist[:2]], axis=0)
+        return (img, hist), None
+
+    hist0 = jnp.zeros((3,) + shape)
+    (img, _), _ = jax.lax.scan(body, (img, hist0), steps)
+    return img
+
+
+def ddpm_sample(
+    eps_fn: Callable,
+    schedule: DiffusionSchedule,
+    shape: tuple,
+    context,
+    rng: jax.Array,
+    from_step: int | None = None,
+    x_start: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Ancestral sampling over all (or the last ``from_step``) timesteps —
+    the DiffSinger shallow-diffusion loop (shallow_diffusion_tts.py:160)."""
+    t_max = from_step if from_step is not None else schedule.num_timesteps
+    betas = jnp.asarray(schedule.betas)
+    acum = jnp.asarray(schedule.alphas_cumprod)
+    acum_prev = jnp.concatenate([jnp.ones(1), acum[:-1]])
+    b = shape[0]
+    rng, k0 = jax.random.split(rng)
+    img = x_start if x_start is not None else jax.random.normal(k0, shape)
+
+    post_var = betas * (1.0 - acum_prev) / (1.0 - acum)
+    post_logvar = jnp.log(jnp.maximum(post_var, 1e-20))
+
+    def body(img, step):
+        t, key = step["t"], step["key"]
+        t_vec = jnp.full((b,), t, jnp.int32)
+        e = eps_fn(img, t_vec, context)
+        x0 = (img - jnp.sqrt(1.0 - acum[t]) * e) / jnp.sqrt(acum[t])
+        x0 = jnp.clip(x0, -1.0, 1.0)
+        mean = (
+            betas[t] * jnp.sqrt(acum_prev[t]) / (1.0 - acum[t]) * x0
+            + (1.0 - acum_prev[t]) * jnp.sqrt(1.0 - betas[t]) / (1.0 - acum[t]) * img
+        )
+        noise = jax.random.normal(key, img.shape)
+        nonzero = (t > 0).astype(img.dtype)
+        img = mean + nonzero * jnp.exp(0.5 * post_logvar[t]) * noise
+        return img, None
+
+    steps = {
+        "t": jnp.arange(t_max)[::-1],
+        "key": jax.random.split(rng, t_max),
+    }
+    img, _ = jax.lax.scan(body, img, steps)
+    return img

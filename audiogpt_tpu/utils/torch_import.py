@@ -265,3 +265,191 @@ def convert_fastspeech2(sd: Mapping[str, np.ndarray], cfg) -> dict:
     if cfg.num_spk > 0 and "spk_embed_proj.weight" in sd:
         p["spk_embed"] = {"embedding": sd["spk_embed_proj.weight"].astype(np.float32)}
     return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# Latent diffusion: UNetModel + AutoencoderKL (Make_An_Audio/ldm)
+# ---------------------------------------------------------------------------
+
+
+def _conv2d(sd, prefix):
+    """torch Conv2d [O,I,kh,kw] → flax {kernel [kh,kw,I,O], bias}."""
+    w = np.asarray(sd[prefix + ".weight"])
+    out = {"kernel": w.transpose(2, 3, 1, 0).astype(np.float32)}
+    if prefix + ".bias" in sd:
+        out["bias"] = np.asarray(sd[prefix + ".bias"]).astype(np.float32)
+    return out
+
+
+def _gn(sd, prefix):
+    return {"GroupNorm_0": {
+        "scale": np.asarray(sd[prefix + ".weight"]).astype(np.float32),
+        "bias": np.asarray(sd[prefix + ".bias"]).astype(np.float32),
+    }}
+
+
+def _unet_res(sd, prefix):
+    out = {
+        "in_norm": _gn(sd, f"{prefix}.in_layers.0"),
+        "in_conv": _conv2d(sd, f"{prefix}.in_layers.2"),
+        "emb_proj": _dense(sd, f"{prefix}.emb_layers.1"),
+        "out_norm": _gn(sd, f"{prefix}.out_layers.0"),
+        "out_conv": _conv2d(sd, f"{prefix}.out_layers.3"),
+    }
+    if f"{prefix}.skip_connection.weight" in sd:
+        out["skip"] = _conv2d(sd, f"{prefix}.skip_connection")
+    return out
+
+
+def _nobias_dense(sd, prefix):
+    return {"kernel": np.asarray(sd[prefix + ".weight"]).T.astype(np.float32)}
+
+
+def _xattn(sd, prefix):
+    return {
+        "to_q": _nobias_dense(sd, f"{prefix}.to_q"),
+        "to_k": _nobias_dense(sd, f"{prefix}.to_k"),
+        "to_v": _nobias_dense(sd, f"{prefix}.to_v"),
+        "to_out": _dense(sd, f"{prefix}.to_out.0"),
+    }
+
+
+def _ln_t(sd, prefix):
+    return {"scale": np.asarray(sd[prefix + ".weight"]).astype(np.float32),
+            "bias": np.asarray(sd[prefix + ".bias"]).astype(np.float32)}
+
+
+def _spatial_transformer(sd, prefix, depth=1):
+    out = {
+        "norm": _gn(sd, f"{prefix}.norm"),
+        "proj_in": _conv2d(sd, f"{prefix}.proj_in"),
+        "proj_out": _conv2d(sd, f"{prefix}.proj_out"),
+    }
+    for d in range(depth):
+        t = f"{prefix}.transformer_blocks.{d}"
+        out[f"block_{d}"] = {
+            "attn1": _xattn(sd, f"{t}.attn1"),
+            "attn2": _xattn(sd, f"{t}.attn2"),
+            "norm1": _ln_t(sd, f"{t}.norm1"),
+            "norm2": _ln_t(sd, f"{t}.norm2"),
+            "norm3": _ln_t(sd, f"{t}.norm3"),
+            "ff": {
+                "proj": _dense(sd, f"{t}.ff.net.0.proj"),
+                "out": _dense(sd, f"{t}.ff.net.2"),
+            },
+        }
+    return out
+
+
+def convert_ldm_unet(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """Reference ``UNetModel`` (openaimodel.py:413) → ours. Accepts keys with
+    or without the LDM wrapper prefix ``model.diffusion_model.``."""
+    sd = {k.removeprefix("model.diffusion_model.").removeprefix("diffusion_model."): v
+          for k, v in sd.items()}
+    p: dict = {
+        "time_embed_0": _dense(sd, "time_embed.0"),
+        "time_embed_2": _dense(sd, "time_embed.2"),
+        "in_conv": _conv2d(sd, "input_blocks.0.0"),
+        "out_norm": _gn(sd, "out.0"),
+        "out_conv": _conv2d(sd, "out.2"),
+        "mid_res1": _unet_res(sd, "middle_block.0"),
+        "mid_attn": _spatial_transformer(sd, "middle_block.1", cfg.transformer_depth),
+        "mid_res2": _unet_res(sd, "middle_block.2"),
+    }
+    idx = 1
+    ds = 1
+    for level in range(len(cfg.channel_mult)):
+        for i in range(cfg.num_res_blocks):
+            p[f"down_{level}_{i}_res"] = _unet_res(sd, f"input_blocks.{idx}.0")
+            if ds in cfg.attention_resolutions:
+                p[f"down_{level}_{i}_attn"] = _spatial_transformer(
+                    sd, f"input_blocks.{idx}.1", cfg.transformer_depth)
+            idx += 1
+        if level != len(cfg.channel_mult) - 1:
+            p[f"down_{level}_ds"] = {"op": _conv2d(sd, f"input_blocks.{idx}.0.op")}
+            idx += 1
+            ds *= 2
+    idx = 0
+    for level in reversed(range(len(cfg.channel_mult))):
+        for i in range(cfg.num_res_blocks + 1):
+            p[f"up_{level}_{i}_res"] = _unet_res(sd, f"output_blocks.{idx}.0")
+            sub = 1
+            if ds in cfg.attention_resolutions:
+                p[f"up_{level}_{i}_attn"] = _spatial_transformer(
+                    sd, f"output_blocks.{idx}.{sub}", cfg.transformer_depth)
+                sub += 1
+            if level and i == cfg.num_res_blocks:
+                p[f"up_{level}_us"] = {"conv": _conv2d(sd, f"output_blocks.{idx}.{sub}.conv")}
+                ds //= 2
+            idx += 1
+    return {"params": p}
+
+
+def _vae_res(sd, prefix):
+    out = {
+        "norm1": _gn(sd, f"{prefix}.norm1"),
+        "conv1": _conv2d(sd, f"{prefix}.conv1"),
+        "norm2": _gn(sd, f"{prefix}.norm2"),
+        "conv2": _conv2d(sd, f"{prefix}.conv2"),
+    }
+    if f"{prefix}.nin_shortcut.weight" in sd:
+        out["nin_shortcut"] = _conv2d(sd, f"{prefix}.nin_shortcut")
+    return out
+
+
+def _vae_attn(sd, prefix):
+    return {
+        "norm": _gn(sd, f"{prefix}.norm"),
+        "q": _conv2d(sd, f"{prefix}.q"),
+        "k": _conv2d(sd, f"{prefix}.k"),
+        "v": _conv2d(sd, f"{prefix}.v"),
+        "proj_out": _conv2d(sd, f"{prefix}.proj_out"),
+    }
+
+
+def convert_vae(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """Reference ``AutoencoderKL`` (autoencoder.py:305) → ours."""
+    sd = {k.removeprefix("first_stage_model."): v for k, v in sd.items()}
+    enc: dict = {
+        "conv_in": _conv2d(sd, "encoder.conv_in"),
+        "mid_block_1": _vae_res(sd, "encoder.mid.block_1"),
+        "mid_attn_1": _vae_attn(sd, "encoder.mid.attn_1"),
+        "mid_block_2": _vae_res(sd, "encoder.mid.block_2"),
+        "norm_out": _gn(sd, "encoder.norm_out"),
+        "conv_out": _conv2d(sd, "encoder.conv_out"),
+    }
+    dec: dict = {
+        "conv_in": _conv2d(sd, "decoder.conv_in"),
+        "mid_block_1": _vae_res(sd, "decoder.mid.block_1"),
+        "mid_attn_1": _vae_attn(sd, "decoder.mid.attn_1"),
+        "mid_block_2": _vae_res(sd, "decoder.mid.block_2"),
+        "norm_out": _gn(sd, "decoder.norm_out"),
+        "conv_out": _conv2d(sd, "decoder.conv_out"),
+    }
+    n = len(cfg.ch_mult)
+    curr_res = cfg.resolution
+    for level in range(n):
+        for i in range(cfg.num_res_blocks):
+            enc[f"down_{level}_block_{i}"] = _vae_res(sd, f"encoder.down.{level}.block.{i}")
+            if curr_res in cfg.attn_resolutions:
+                enc[f"down_{level}_attn_{i}"] = _vae_attn(sd, f"encoder.down.{level}.attn.{i}")
+        if level != n - 1:
+            enc[f"down_{level}_downsample"] = {
+                "conv": _conv2d(sd, f"encoder.down.{level}.downsample.conv")}
+            curr_res //= 2
+    curr_res = cfg.resolution // 2 ** (n - 1)
+    for level in reversed(range(n)):
+        for i in range(cfg.num_res_blocks + 1):
+            dec[f"up_{level}_block_{i}"] = _vae_res(sd, f"decoder.up.{level}.block.{i}")
+            if curr_res in cfg.attn_resolutions:
+                dec[f"up_{level}_attn_{i}"] = _vae_attn(sd, f"decoder.up.{level}.attn.{i}")
+        if level != 0:
+            dec[f"up_{level}_upsample"] = {
+                "conv": _conv2d(sd, f"decoder.up.{level}.upsample.conv")}
+            curr_res *= 2
+    return {"params": {
+        "encoder": enc,
+        "decoder": dec,
+        "quant_conv": _conv2d(sd, "quant_conv"),
+        "post_quant_conv": _conv2d(sd, "post_quant_conv"),
+    }}

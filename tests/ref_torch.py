@@ -60,7 +60,18 @@ def _shim_omegaconf():
                 return _NS(yaml.safe_load(f))
 
     fake.OmegaConf = OmegaConf
+
+    listcfg = types.ModuleType("omegaconf.listconfig")
+
+    class ListConfig(list):
+        pass
+
+    listcfg.ListConfig = ListConfig
+    fake.listconfig = listcfg
+    fake.ListConfig = ListConfig
+    fake.__path__ = []  # mark as package
     sys.modules["omegaconf"] = fake
+    sys.modules["omegaconf.listconfig"] = listcfg
 
 
 def _shim_pycwt():
@@ -70,6 +81,17 @@ def _shim_pycwt():
     fake.wavelet = types.ModuleType("pycwt.wavelet")
     sys.modules["pycwt"] = fake
     sys.modules["pycwt.wavelet"] = fake.wavelet
+
+
+def _shim_lightning():
+    if "pytorch_lightning" in sys.modules:
+        return
+    import torch
+
+    fake = types.ModuleType("pytorch_lightning")
+    fake.LightningModule = torch.nn.Module
+    fake.seed_everything = lambda *a, **k: None
+    sys.modules["pytorch_lightning"] = fake
 
 
 def add_neuralseq_path():
@@ -85,6 +107,7 @@ def add_mka_path():
     _shim_scipy()
     _shim_librosa()
     _shim_omegaconf()
+    _shim_lightning()
     p = f"{_REF}/text_to_audio/Make_An_Audio"
     if p not in sys.path:
         sys.path.insert(0, p)
