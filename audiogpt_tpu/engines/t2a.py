@@ -1,0 +1,212 @@
+"""Text→audio / inpaint latent-diffusion engine (Make-An-Audio class).
+
+Reference flow (``audio-chatgpt.py:158-199`` T2A, 418-559 Inpaint): CLAP text
+context → DDIM (S=100, scale 1.5, 3 samples) → VAE decode → (x+1)/2 mel →
+BigVGAN → best-of-3 CLAP ranking.
+
+TPU re-design:
+  * ONE jit program for the whole sampler (context both branches batched, the
+    scan from ``samplers.ddim_sample``), one more for VAE decode + vocoder,
+  * the n_samples axis is the batch axis — 3 candidates cost one batched run,
+    not 3 sequential runs,
+  * the CLAP scorer is constructed once at engine init (the reference
+    re-instantiates it per call — ``audio-chatgpt.py:187``, a known defect).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiogpt_tpu.engines.base import Engine
+from audiogpt_tpu.engines.vocoder import VocoderEngine
+from audiogpt_tpu.models.diffusion import (
+    AutoencoderKL,
+    DiffusionSchedule,
+    UNetConfig,
+    UNetModel,
+    VAEConfig,
+    ddim_sample,
+)
+from audiogpt_tpu.models.textenc import CLAPTextConfig, CLAPTextEncoder
+from audiogpt_tpu.models.textenc.clap import WordPieceTokenizer
+from audiogpt_tpu.dsp.mel import ldm_mel
+
+
+@dataclasses.dataclass(frozen=True)
+class T2AConfig:
+    unet: UNetConfig = UNetConfig()
+    vae: VAEConfig = VAEConfig()
+    clap: CLAPTextConfig = CLAPTextConfig()
+    mel_bins: int = 80
+    mel_len: int = 624           # 10 s canvas (audio-chatgpt.py:202)
+    inpaint_mel_len: int = 848   # inpaint canvas (audio-chatgpt.py:463)
+    sample_rate: int = 16000
+    hop: int = 256
+    scale_factor: float = 1.0    # LDM latent scaling (ddpm_audio.py:104)
+    timesteps: int = 1000
+    linear_start: float = 0.00085
+    linear_end: float = 0.0120
+
+    @property
+    def vae_factor(self) -> int:
+        return 2 ** (len(self.vae.ch_mult) - 1)
+
+    @property
+    def latent_hw(self) -> tuple[int, int]:
+        return self.mel_bins // self.vae_factor, self.mel_len // self.vae_factor
+
+
+class T2AEngine(Engine):
+    name = "t2a"
+
+    def __init__(self, cfg: T2AConfig | None = None, params: dict | None = None,
+                 vocoder: VocoderEngine | None = None,
+                 tokenizer: WordPieceTokenizer | None = None,
+                 rng_seed: int = 0):
+        super().__init__()
+        self.cfg = cfg or T2AConfig()
+        self.unet = UNetModel(self.cfg.unet)
+        self.vae = AutoencoderKL(self.cfg.vae)
+        self.clap = CLAPTextEncoder(self.cfg.clap)
+        self.schedule = DiffusionSchedule.linear(
+            self.cfg.timesteps, self.cfg.linear_start, self.cfg.linear_end)
+        self.tokenizer = tokenizer or WordPieceTokenizer(
+            vocab_size=self.cfg.clap.bert.vocab_size)
+        self.vocoder = vocoder
+        self._rng = jax.random.PRNGKey(rng_seed)
+
+        if params is None:
+            params = self.init_params(jax.random.PRNGKey(rng_seed))
+        self.params = params  # {"unet":…, "vae":…, "clap":…}
+
+    def init_params(self, rng) -> dict:
+        h, w = self.cfg.latent_hw
+        k1, k2, k3 = jax.random.split(rng, 3)
+        return {
+            "unet": self.unet.init(
+                k1, jnp.zeros((1, h, w, self.cfg.unet.in_channels)),
+                jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, 2, self.cfg.unet.context_dim))),
+            "vae": self.vae.init(k2, jnp.zeros((1, 16, 16, self.cfg.vae.in_channels))),
+            "clap": self.clap.init(k3, jnp.zeros((1, 4), jnp.int32)),
+        }
+
+    # -- conditioning -------------------------------------------------------
+    def encode_text(self, texts: list[str]) -> jnp.ndarray:
+        ids, masks = zip(*(self.tokenizer.encode(t, self.cfg.clap.max_length)
+                           for t in texts))
+        return self.clap.apply(self.params["clap"], jnp.asarray(np.stack(ids)),
+                               jnp.asarray(np.stack(masks)))
+
+    # -- compiled cores -----------------------------------------------------
+    @functools.cached_property
+    def _sample_fn(self):
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, static_argnames=("guidance", "n_steps", "h", "w"))
+        def run(params, context, uncond, rng, x_T, guidance, n_steps, h, w):
+            def eps(x, t, c):
+                return self.unet.apply(params["unet"], x, t, c)
+
+            b = context.shape[0]
+            z = ddim_sample(
+                eps, self.schedule, (b, h, w, cfg.unet.in_channels),
+                context, uncond, rng, n_steps=n_steps,
+                guidance_scale=guidance, x_T=x_T)
+            z = z / cfg.scale_factor
+            mel = self.vae.apply(params["vae"], z, method=AutoencoderKL.decode)
+            return jnp.clip((mel + 1.0) / 2.0, 0.0, 1.0)  # [B, 80, W, 1]
+
+        return run
+
+    @functools.cached_property
+    def _inpaint_fn(self):
+        cfg = self.cfg
+
+        @functools.partial(jax.jit, static_argnames=("guidance", "n_steps"))
+        def run(params, mel01, mask_latent, context, uncond, rng, guidance, n_steps):
+            # encode original mel (mel01 in [0,1] → VAE domain [-1,1])
+            x = mel01 * 2.0 - 1.0
+            post = self.vae.apply(params["vae"], x, method=AutoencoderKL.encode)
+            z0 = post.mode() * cfg.scale_factor
+
+            def eps(x_, t, c):
+                return self.unet.apply(params["unet"], x_, t, c)
+
+            z = ddim_sample(
+                eps, self.schedule, z0.shape, context, uncond, rng,
+                n_steps=n_steps, guidance_scale=guidance,
+                mask=mask_latent, x0=z0)
+            mel = self.vae.apply(params["vae"], z / cfg.scale_factor,
+                                 method=AutoencoderKL.decode)
+            return jnp.clip((mel + 1.0) / 2.0, 0.0, 1.0)
+
+        return run
+
+    # -- public API ---------------------------------------------------------
+    def txt2audio(self, text: str, n_samples: int = 3, ddim_steps: int = 100,
+                  scale: float = 1.5, seed: int | None = None) -> np.ndarray:
+        """→ candidate mels [n, frames, 80] in [0,1] (and wavs if a vocoder
+        is attached: returns (mels, wavs))."""
+        cfg = self.cfg
+        ctx = self.encode_text([text] * n_samples)
+        uc = self.encode_text([""] * n_samples)
+        h, w = cfg.latent_hw
+        if seed is not None:
+            rng = jax.random.PRNGKey(seed)
+        else:
+            self._rng, rng = jax.random.split(self._rng)
+        rng, krng = jax.random.split(rng)
+        x_T = jax.random.normal(krng, (n_samples, h, w, cfg.unet.in_channels))
+        mel = self._sample_fn(self.params, ctx, uc, rng, x_T, scale,
+                              ddim_steps, h, w)
+        mel = np.asarray(mel)[..., 0]          # [n, 80, W]
+        mels = mel.transpose(0, 2, 1)          # [n, frames, 80]
+        if self.vocoder is None:
+            return mels
+        wavs = self.vocoder(mels)
+        return mels, wavs
+
+    def inpaint(self, wav: np.ndarray, mask_time: np.ndarray,
+                text: str = "", ddim_steps: int = 100,
+                scale: float = 1.0) -> np.ndarray:
+        """``mask_time`` [frames] with 1 = KEEP original; regenerates the
+        rest. Fixed 848-frame window (pad/truncate, audio-chatgpt.py:463-470)."""
+        cfg = self.cfg
+        n = cfg.inpaint_mel_len * cfg.hop
+        wav = np.asarray(wav, np.float32)
+        wav = np.pad(wav, (0, max(0, n - len(wav))))[:n]
+        import dataclasses as _dc
+
+        from audiogpt_tpu.dsp.mel import LDM_MEL_16K, ldm_normalize, log_mel
+
+        spec = _dc.replace(LDM_MEL_16K, sr=cfg.sample_rate, hop=cfg.hop,
+                           n_mels=cfg.mel_bins)
+        mel = np.asarray(ldm_normalize(log_mel(jnp.asarray(wav), spec)))[: cfg.inpaint_mel_len]
+        mel01 = mel[None].transpose(0, 2, 1)[..., None]  # [1, 80, frames, 1]
+
+        mask = np.asarray(mask_time, np.float32)
+        mask = np.pad(mask, (0, max(0, cfg.inpaint_mel_len - len(mask))))[: cfg.inpaint_mel_len]
+        # latent mask: downsample by the VAE factor; frame-axis mask broadcast
+        f = cfg.vae_factor
+        lat_w = cfg.inpaint_mel_len // f
+        m = mask.reshape(lat_w, f).max(axis=1)
+        mask_latent = jnp.asarray(m)[None, None, :, None] * jnp.ones(
+            (1, cfg.mel_bins // f, lat_w, cfg.unet.in_channels))
+
+        ctx = self.encode_text([text])
+        uc = self.encode_text([""]) if scale != 1.0 else None
+        self._rng, rng = jax.random.split(self._rng)
+        out = self._inpaint_fn(self.params, jnp.asarray(mel01), mask_latent,
+                               ctx, uc if uc is not None else ctx, rng,
+                               scale, ddim_steps)
+        out_mel = np.asarray(out)[0, :, :, 0].T  # [frames, 80]
+        if self.vocoder is None:
+            return out_mel
+        return self.vocoder(out_mel)

@@ -1,0 +1,6 @@
+from audiogpt_tpu.models.textenc.bert import BertConfig, BertEncoder  # noqa: F401
+from audiogpt_tpu.models.textenc.clap import (  # noqa: F401
+    CLAPTextConfig,
+    CLAPTextEncoder,
+    Projection,
+)

@@ -453,3 +453,53 @@ def convert_vae(sd: Mapping[str, np.ndarray], cfg) -> dict:
         "quant_conv": _conv2d(sd, "quant_conv"),
         "post_quant_conv": _conv2d(sd, "post_quant_conv"),
     }}
+
+
+# ---------------------------------------------------------------------------
+# BERT (HF `BertModel`) + CLAP caption encoder
+# ---------------------------------------------------------------------------
+
+
+def convert_bert(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """HF ``BertModel`` state dict → :class:`BertEncoder` params. Accepts
+    'bert.' / 'base.' / 'caption_encoder.base.' prefixes."""
+    clean = {}
+    for k, v in sd.items():
+        for pre in ("caption_encoder.base.", "base.", "bert."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+                break
+        clean[k] = np.asarray(v)
+    sd = clean
+    p: dict = {
+        "word_emb": {"embedding": sd["embeddings.word_embeddings.weight"].astype(np.float32)},
+        "pos_emb": {"embedding": sd["embeddings.position_embeddings.weight"].astype(np.float32)},
+        "type_emb": {"embedding": sd["embeddings.token_type_embeddings.weight"].astype(np.float32)},
+        "emb_ln": _ln(sd, "embeddings.LayerNorm"),
+    }
+    for i in range(cfg.num_layers):
+        l = f"encoder.layer.{i}"
+        p[f"layer_{i}"] = {
+            "q": _dense(sd, f"{l}.attention.self.query"),
+            "k": _dense(sd, f"{l}.attention.self.key"),
+            "v": _dense(sd, f"{l}.attention.self.value"),
+            "attn_out": _dense(sd, f"{l}.attention.output.dense"),
+            "attn_ln": _ln(sd, f"{l}.attention.output.LayerNorm"),
+            "inter": _dense(sd, f"{l}.intermediate.dense"),
+            "out": _dense(sd, f"{l}.output.dense"),
+            "out_ln": _ln(sd, f"{l}.output.LayerNorm"),
+        }
+    return {"params": p}
+
+
+def convert_clap_text(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """CLAP ``caption_encoder`` (base BERT + Projection) → CLAPTextEncoder."""
+    sd = {k.removeprefix("caption_encoder."): np.asarray(v) for k, v in sd.items()}
+    bert = convert_bert({k: v for k, v in sd.items() if k.startswith("base.")},
+                        cfg.bert)["params"]
+    proj = {
+        "linear1": _nobias_dense(sd, "projection.linear1"),
+        "linear2": _nobias_dense(sd, "projection.linear2"),
+        "ln": _ln_t(sd, "projection.layer_norm"),
+    }
+    return {"params": {"base": bert, "projection": proj}}

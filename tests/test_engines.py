@@ -86,3 +86,42 @@ class TestTTSEngine:
         assert wav.ndim == 1 and len(wav) > 0
         assert np.isfinite(wav).all()
         assert eng.sample_rate == 22050
+
+
+class TestT2AEngine:
+    @staticmethod
+    def _tiny_engine():
+        from audiogpt_tpu.engines.t2a import T2AConfig, T2AEngine
+        from audiogpt_tpu.models.diffusion import UNetConfig, VAEConfig
+        from audiogpt_tpu.models.textenc import BertConfig, CLAPTextConfig
+
+        cfg = T2AConfig(
+            unet=UNetConfig(in_channels=4, out_channels=4, model_channels=32,
+                            num_res_blocks=1, channel_mult=(1, 2), num_heads=4,
+                            context_dim=32, use_checkpoint=False),
+            vae=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                          attn_resolutions=(), z_channels=4, embed_dim=4,
+                          resolution=64),
+            clap=CLAPTextConfig(
+                bert=BertConfig(vocab_size=2000, hidden_size=32, num_layers=1,
+                                num_heads=2, intermediate_size=64,
+                                max_position=80),
+                d_proj=32, max_length=16),
+            mel_bins=16, mel_len=32, inpaint_mel_len=32, timesteps=100,
+        )
+        return T2AEngine(cfg)
+
+    def test_txt2audio_mel_shape(self):
+        eng = self._tiny_engine()
+        mels = eng.txt2audio("a dog barking", n_samples=2, ddim_steps=4, seed=0)
+        assert mels.shape[0] == 2 and mels.shape[2] == eng.cfg.mel_bins
+        assert np.isfinite(mels).all()
+        assert mels.min() >= 0.0 and mels.max() <= 1.0
+
+    def test_inpaint_shape(self):
+        eng = self._tiny_engine()
+        wav = np.random.RandomState(0).randn(eng.cfg.inpaint_mel_len * eng.cfg.hop).astype(np.float32) * 0.1
+        mask = np.ones(eng.cfg.inpaint_mel_len, np.float32)
+        mask[10:20] = 0.0
+        out = eng.inpaint(wav, mask, ddim_steps=3)
+        assert out.shape[1] == eng.cfg.mel_bins or out.ndim == 1

@@ -1,0 +1,79 @@
+"""BERT / CLAP text tower parity vs HF transformers BertModel."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from audiogpt_tpu.models.textenc import BertConfig, BertEncoder, CLAPTextConfig, CLAPTextEncoder
+from audiogpt_tpu.models.textenc.clap import WordPieceTokenizer
+from audiogpt_tpu.utils.torch_import import convert_bert
+
+TINY = BertConfig(vocab_size=1000, hidden_size=32, num_layers=2, num_heads=2,
+                  intermediate_size=64, max_position=64)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    from transformers import BertConfig as HFConfig, BertModel
+
+    hf = HFConfig(
+        vocab_size=1000, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    ref = BertModel(hf, add_pooling_layer=False).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_bert(sd, TINY)
+    return ref, BertEncoder(TINY), params
+
+
+class TestBertParity:
+    def test_hidden_states_match(self, pair):
+        ref, model, params = pair
+        rng = np.random.RandomState(0)
+        ids = rng.randint(0, 1000, (2, 12))
+        mask = np.ones((2, 12), np.int64)
+        mask[1, 8:] = 0
+        with torch.no_grad():
+            y_ref = ref(input_ids=torch.from_numpy(ids),
+                        attention_mask=torch.from_numpy(mask)).last_hidden_state.numpy()
+        y = np.asarray(model.apply(params, jnp.asarray(ids), jnp.asarray(mask)))
+        # padded positions may differ (masked out downstream); compare valid
+        np.testing.assert_allclose(y[0], y_ref[0], atol=2e-4)
+        np.testing.assert_allclose(y[1, :8], y_ref[1, :8], atol=2e-4)
+
+
+class TestCLAPText:
+    def test_context_shape(self):
+        import jax
+
+        cfg = CLAPTextConfig(bert=TINY, d_proj=48)
+        model = CLAPTextEncoder(cfg)
+        toks = jnp.zeros((2, 16), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), toks)
+        ctx = model.apply(params, toks)
+        assert ctx.shape == (2, 16, 48)
+        cls = model.apply(params, toks, method=CLAPTextEncoder.cls_embedding)
+        assert cls.shape == (2, 48)
+
+
+class TestWordPiece:
+    def test_with_vocab(self, tmp_path):
+        vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "hello", "wor", "##ld", "!"]
+        p = tmp_path / "vocab.txt"
+        p.write_text("\n".join(vocab) + "\n")
+        tok = WordPieceTokenizer(str(p))
+        ids, mask = tok.encode("hello world!", max_length=10)
+        assert ids[0] == 2  # CLS
+        assert list(ids[1:5]) == [4, 5, 6, 7]
+        assert ids[5] == 3  # SEP
+        assert mask.sum() == 6
+
+    def test_fallback_no_vocab(self):
+        tok = WordPieceTokenizer()
+        ids, mask = tok.encode("anything goes", max_length=8)
+        assert ids.shape == (8,) and ids[0] == 101 and mask[0] == 1
