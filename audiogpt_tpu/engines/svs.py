@@ -1,0 +1,150 @@
+"""Singing-voice synthesis engine (DiffSinger, opencpop-style scores).
+
+Input contract mirrors the reference T2S tool (``audio-chatgpt.py:298-340`` →
+``base_svs_infer.py:71-155``): either word-level
+``{'text', 'notes', 'notes_duration'}`` with '|'-separated per-word windows,
+or phoneme-level ``{'ph_seq', 'note_seq', 'note_dur_seq', 'is_slur_seq'}``.
+Slur notes repeat the final (yunmu) phone with is_slur=1.
+
+Word-level Chinese g2p: the reference uses pypinyin + the opencpop
+pinyin→phone table; this image has neither, so the engine accepts
+space-separated pinyin (or romanized) syllables directly and splits them
+initial/final algorithmically — a user-supplied ``pinyin2phs`` table takes
+precedence when available.
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiogpt_tpu.engines.base import Bucketer, Engine
+from audiogpt_tpu.engines.vocoder import VocoderEngine
+from audiogpt_tpu.models.svs import DiffSinger, DiffSingerConfig
+from audiogpt_tpu.text.encoder import TokenTextEncoder
+
+# standard pinyin initials, longest-first for greedy matching
+_INITIALS = ["zh", "ch", "sh", "b", "p", "m", "f", "d", "t", "n", "l", "g",
+             "k", "h", "j", "q", "x", "r", "z", "c", "s", "y", "w"]
+
+_NOTE_OFFSET = {"C": 0, "D": 2, "E": 4, "F": 5, "G": 7, "A": 9, "B": 11}
+
+
+def note_to_midi(name: str) -> int:
+    """'C#4/Db4' → 61; 'rest' → 0 (librosa.note_to_midi semantics)."""
+    name = name.split("/")[0].strip()
+    m = re.match(r"^([A-Ga-g])([#b♯♭]*)(-?\d+)$", name)
+    if not m:
+        return 0
+    letter, accidental, octave = m.groups()
+    midi = _NOTE_OFFSET[letter.upper()] + 12 * (int(octave) + 1)
+    for a in accidental:
+        midi += 1 if a in "#♯" else -1
+    return midi
+
+
+def split_pinyin(syllable: str) -> list[str]:
+    """'xiao' → ['x', 'iao']; 'ai' → ['ai'] (zero-initial)."""
+    s = syllable.lower().strip()
+    for ini in _INITIALS:
+        if s.startswith(ini) and len(s) > len(ini):
+            return [ini, s[len(ini):]]
+    return [s]
+
+
+class SVSEngine(Engine):
+    name = "svs"
+
+    def __init__(self, cfg: DiffSingerConfig | None = None, params=None,
+                 vocoder: VocoderEngine | None = None,
+                 phone_encoder: TokenTextEncoder | None = None,
+                 pinyin2phs: dict[str, str] | None = None,
+                 token_buckets=(32, 64, 128), rng_seed: int = 0,
+                 pndm_speedup: int = 10):
+        super().__init__()
+        self.cfg = cfg or DiffSingerConfig()
+        self.model = DiffSinger(self.cfg)
+        self.pinyin2phs = pinyin2phs or {}
+        self.pndm_speedup = pndm_speedup
+        if phone_encoder is None:
+            finals = ["a", "o", "e", "i", "u", "v", "ai", "ei", "ao", "ou",
+                      "an", "en", "ang", "eng", "ong", "er", "ia", "iao",
+                      "ian", "iang", "ie", "in", "ing", "iong", "iu", "ua",
+                      "uai", "uan", "uang", "ui", "un", "uo", "ve", "vn"]
+            vocab = sorted(set(_INITIALS + finals + ["<AP>", "<SP>", "rest"]))
+            phone_encoder = TokenTextEncoder(vocab)
+        self.phone_encoder = phone_encoder
+        self.vocoder = vocoder
+        self.bucketer = Bucketer(token_buckets)
+        self._rng = jax.random.PRNGKey(rng_seed)
+        if params is None:
+            toks = jnp.zeros((1, 4), jnp.int32)
+            params = self.model.init(jax.random.PRNGKey(rng_seed), toks,
+                                     pitch_midi=jnp.zeros((1, 4), jnp.int32))
+        self.params = params
+        self._fn = jax.jit(
+            lambda p, t, midi, dur, slur, rng: self.model.apply(
+                p, t, pitch_midi=midi, midi_dur=dur, is_slur=slur, rng=rng,
+                pndm_speedup=self.pndm_speedup))
+
+    # -- score parsing ------------------------------------------------------
+    def parse_word_level(self, text: str, notes: str, notes_duration: str):
+        words = [w for w in re.split(r"[\s]+", text.strip()) if w]
+        ph_per_word = []
+        for w in words:
+            if w in self.pinyin2phs:
+                ph_per_word.append(self.pinyin2phs[w])
+            else:
+                ph_per_word.append(" ".join(split_pinyin(w)))
+        note_windows = [x.strip() for x in notes.split("|") if x.strip()]
+        dur_windows = [x.strip() for x in notes_duration.split("|") if x.strip()]
+        if not (len(note_windows) == len(ph_per_word) == len(dur_windows)):
+            raise ValueError(
+                f"word/note/duration window counts differ: "
+                f"{len(ph_per_word)}/{len(note_windows)}/{len(dur_windows)}")
+        phs, note_lst, dur_lst, slur = [], [], [], []
+        for i, word_phs in enumerate(ph_per_word):
+            wp = word_phs.split()
+            wn = note_windows[i].split()
+            wd = dur_windows[i].split()
+            for p in wp:
+                phs.append(p)
+                note_lst.append(wn[0])
+                dur_lst.append(wd[0])
+                slur.append(0)
+            for j in range(1, len(wn)):  # slur: repeat the final
+                phs.append(wp[-1])
+                note_lst.append(wn[j])
+                dur_lst.append(wd[j])
+                slur.append(1)
+        return phs, note_lst, dur_lst, slur
+
+    # -- synthesis ----------------------------------------------------------
+    def synthesize(self, text: str, notes: str, notes_duration: str) -> np.ndarray:
+        phs, note_lst, dur_lst, slur = self.parse_word_level(
+            text, notes, notes_duration)
+        tokens = np.asarray(self.phone_encoder.encode(phs), np.int32)
+        midi = np.asarray([note_to_midi(n) for n in note_lst], np.int32)
+        dur = np.asarray([float(d) for d in dur_lst], np.float32)
+        slur_a = np.asarray(slur, np.int32)
+
+        t, _ = self.bucketer.pad_to_bucket(tokens[None], axis=1)
+        m, _ = self.bucketer.pad_to_bucket(midi[None], axis=1)
+        d, _ = self.bucketer.pad_to_bucket(dur[None], axis=1)
+        s, _ = self.bucketer.pad_to_bucket(slur_a[None], axis=1)
+
+        self._rng, rng = jax.random.split(self._rng)
+        out = self._fn(self.params, jnp.asarray(t), jnp.asarray(m),
+                       jnp.asarray(d), jnp.asarray(s), rng)
+        mel = np.asarray(out["mel_out"])[0]
+        m2p = np.asarray(out["mel2ph"])[0]
+        nz = np.nonzero(m2p > 0)[0]
+        mel = mel[: (int(nz[-1]) + 1) if len(nz) else 1]
+        if self.vocoder is None:
+            return mel
+        f0 = np.asarray(out["f0_denorm"])[0][: mel.shape[0]] \
+            if out.get("f0_denorm") is not None else None
+        return self.vocoder(mel, f0=f0)

@@ -64,6 +64,8 @@ class FastSpeech2Config:
     num_spk: int = 0               # >0 → speaker-id embedding
     max_frames: int = 2048         # static mel canvas
     dropout: float = 0.1
+    use_midi: bool = False         # DiffSinger: midi/slur embeddings
+    rel_pos: bool = False          # ESPnet-style reversed PE (ds1000 rel_pos)
     # Mask predictor activations at padded frames between conv layers. The
     # reference's PitchPredictor doesn't (tts_modules.py:247-260), so conv
     # bias values leak from padding into valid tail frames — an artifact that
@@ -291,12 +293,36 @@ class FastSpeech2(nn.Module):
                 with_pos=True, pos_dim=d, name="energy_predictor")
         if cfg.num_spk > 0:
             self.spk_embed = nn.Embed(cfg.num_spk + 1, d, name="spk_embed")
+        if cfg.use_midi:
+            self.midi_embed = nn.Embed(300, d, name="midi_embed")
+            self.midi_dur_layer = nn.Dense(d, name="midi_dur_layer")
+            self.is_slur_embed = nn.Embed(2, d, name="is_slur_embed")
 
-    def encode(self, tokens):
-        """tokens [B, T] → encoder_out [B, T, H] (FastspeechEncoder:352)."""
+    def encode(self, tokens, pitch_midi=None, midi_dur=None, is_slur=None):
+        """tokens [B, T] → encoder_out [B, T, H] (FastspeechEncoder:352;
+        MIDI variant diffsinger_midi/fs2.py:57)."""
+        cfg = self.cfg
         nonpad = (tokens > 0).astype(jnp.float32)
-        x = self.embed(tokens) * math.sqrt(self.cfg.hidden_size)
-        x = x + self.enc_pos(nonpad)
+        x = self.embed(tokens) * math.sqrt(cfg.hidden_size)
+        if cfg.use_midi and pitch_midi is not None:
+            x = x + self.midi_embed(pitch_midi)
+            if midi_dur is not None:
+                x = x + self.midi_dur_layer(midi_dur[..., None])
+            if is_slur is not None:
+                x = x + self.is_slur_embed(is_slur)
+        if cfg.rel_pos:
+            # ESPnet RelPositionalEncoding (espnet_positional_embedding.py:89):
+            # x*sqrt(d) + reversed interleaved sin/cos table
+            t = tokens.shape[1]
+            d = cfg.hidden_size
+            pos = jnp.arange(t - 1, -1, -1.0)[:, None]
+            div = jnp.exp(jnp.arange(0, d, 2) * -(math.log(10000.0) / d))
+            pe = jnp.zeros((t, d))
+            pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+            pe = pe.at[:, 1::2].set(jnp.cos(pos * div))
+            x = x * math.sqrt(d) + pe[None]
+        else:
+            x = x + self.enc_pos(nonpad)
         return self.encoder(x, nonpad), nonpad
 
     @staticmethod
@@ -306,13 +332,14 @@ class FastSpeech2(nn.Module):
         return jnp.take_along_axis(h, mel2ph[..., None], axis=1)
 
     def __call__(self, tokens, mel2ph=None, f0=None, uv=None, spk_id=None,
+                 pitch_midi=None, midi_dur=None, is_slur=None,
                  infer: bool = False):
         """Returns dict: mel_out [B, F, n_mels], dur (log-domain pred),
         mel2ph, pitch_pred, f0_denorm. Training passes gt mel2ph/f0/uv;
         inference predicts them (static F = cfg.max_frames)."""
         cfg = self.cfg
         ret = {}
-        encoder_out, src_nonpad = self.encode(tokens)
+        encoder_out, src_nonpad = self.encode(tokens, pitch_midi, midi_dur, is_slur)
 
         spk = 0.0
         if cfg.num_spk > 0 and spk_id is not None:

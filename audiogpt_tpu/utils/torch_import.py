@@ -503,3 +503,27 @@ def convert_clap_text(sd: Mapping[str, np.ndarray], cfg) -> dict:
         "ln": _ln_t(sd, "projection.layer_norm"),
     }
     return {"params": {"base": bert, "projection": proj}}
+
+
+# ---------------------------------------------------------------------------
+# DiffSinger DiffNet (NeuralSeq/modules/diff/net.py)
+# ---------------------------------------------------------------------------
+
+
+def convert_diffnet(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    sd = {k.removeprefix("model.denoise_fn.").removeprefix("denoise_fn."): np.asarray(v)
+          for k, v in sd.items()}
+    p: dict = {
+        "input_projection": _conv1d(sd, "input_projection"),
+        "mlp_0": _dense(sd, "mlp.0"),
+        "mlp_2": _dense(sd, "mlp.2"),
+        "skip_projection": _conv1d(sd, "skip_projection"),
+        "output_projection": _conv1d(sd, "output_projection"),
+    }
+    for i in range(cfg.residual_layers):
+        r = f"residual_layers.{i}"
+        p[f"res_{i}_diff"] = _dense(sd, f"{r}.diffusion_projection")
+        p[f"res_{i}_dilated"] = _conv1d(sd, f"{r}.dilated_conv")
+        p[f"res_{i}_cond"] = _conv1d(sd, f"{r}.conditioner_projection")
+        p[f"res_{i}_out"] = _conv1d(sd, f"{r}.output_projection")
+    return {"params": p}
