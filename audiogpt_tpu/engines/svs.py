@@ -82,8 +82,11 @@ class SVSEngine(Engine):
         self._rng = jax.random.PRNGKey(rng_seed)
         if params is None:
             toks = jnp.zeros((1, 4), jnp.int32)
-            params = self.model.init(jax.random.PRNGKey(rng_seed), toks,
-                                     pitch_midi=jnp.zeros((1, 4), jnp.int32))
+            params = self.model.init(
+                jax.random.PRNGKey(rng_seed), toks,
+                pitch_midi=jnp.zeros((1, 4), jnp.int32),
+                midi_dur=jnp.zeros((1, 4), jnp.float32),
+                is_slur=jnp.zeros((1, 4), jnp.int32))
         self.params = params
         self._fn = jax.jit(
             lambda p, t, midi, dur, slur, rng: self.model.apply(
