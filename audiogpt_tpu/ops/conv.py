@@ -95,3 +95,36 @@ def fold_weight_norm(g: jnp.ndarray, v: jnp.ndarray, axes: Sequence[int]) -> jnp
     translated to the given layout)."""
     norm = jnp.sqrt(jnp.sum(v * v, axis=tuple(axes), keepdims=True))
     return g * v / jnp.maximum(norm, 1e-12)
+
+
+class ConvTranspose2d(nn.Module):
+    """Transposed 2-D conv matching torch ConvTranspose2d(k, s, padding=0):
+    out = (in-1)*s + k per spatial dim. Input [B, H, W, C]."""
+
+    features: int
+    kernel_size: tuple[int, int]
+    stride: tuple[int, int]
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        sh, sw = self.stride
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, self.features, x.shape[-1]),  # [Kh, Kw, O, I]
+            jnp.float32,
+        )
+        y = jax.lax.conv_general_dilated(
+            x.astype(kernel.dtype),
+            jnp.flip(kernel, axis=(0, 1)).transpose(0, 1, 3, 2),  # [Kh,Kw,I,O]
+            window_strides=(1, 1),
+            padding=[(kh - 1, kh - 1), (kw - 1, kw - 1)],
+            lhs_dilation=(sh, sw),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b
+        return y.astype(x.dtype)
