@@ -1,0 +1,163 @@
+"""Conv-TasNet — time-domain speech separation / enhancement, TPU-native.
+
+The reference serves separation and enhancement through external ESPnet
+models (``SeparateSpeech`` wrappers, ``audio-chatgpt.py:957-1048``: ConvTasNet
+for chime4 enhancement, SkiM for wsj0-2mix separation). Per SURVEY.md §2.7
+those external wheels are replaced by an in-framework model; Conv-TasNet
+(Luo & Mesgarani, 2019) is the canonical choice covering both tasks
+(n_src=1 → enhancement, n_src=2 → separation).
+
+TPU-first: NWC layout; the TCN is a static python loop of dilated depthwise
+convs (XLA fuses the pointwise/PReLU/gLN chains); one jit for a whole
+segment; streaming via the same 2.4 s / 0.8 s overlap-add contract the
+reference uses (``audio-chatgpt.py:976-987``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvTasNetConfig:
+    n_src: int = 2
+    enc_dim: int = 512        # N
+    enc_kernel: int = 16      # L
+    bottleneck: int = 128     # B
+    hidden: int = 512         # H
+    skip: int = 128           # Sc
+    kernel: int = 3           # P
+    n_blocks: int = 8         # X (dilations 1..2^7)
+    n_repeats: int = 3        # R
+    mask_act: str = "relu"
+    sample_rate: int = 16000
+
+    @property
+    def stride(self) -> int:
+        return self.enc_kernel // 2
+
+
+class GlobalLayerNorm(nn.Module):
+    """gLN: normalize over (time, channels) jointly."""
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        gamma = self.param("gamma", nn.initializers.ones, (c,))
+        beta = self.param("beta", nn.initializers.zeros, (c,))
+        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+        var = jnp.mean((x - mean) ** 2, axis=(1, 2), keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + 1e-8) * gamma + beta
+
+
+class PReLU(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        a = self.param("alpha", nn.initializers.constant(0.25), (1,))
+        return jnp.where(x >= 0, x, a * x)
+
+
+class TCNBlock(nn.Module):
+    hidden: int
+    skip: int
+    bottleneck: int
+    kernel: int
+    dilation: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.hidden, (1,), name="conv1x1")(x)
+        h = PReLU(name="prelu1")(h)
+        h = GlobalLayerNorm(name="norm1")(h)
+        pad = (self.kernel - 1) * self.dilation // 2
+        h = nn.Conv(self.hidden, (self.kernel,), kernel_dilation=self.dilation,
+                    padding=[(pad, pad)], feature_group_count=self.hidden,
+                    name="dconv")(h)
+        h = PReLU(name="prelu2")(h)
+        h = GlobalLayerNorm(name="norm2")(h)
+        res = nn.Conv(self.bottleneck, (1,), name="res_conv")(h)
+        skip = nn.Conv(self.skip, (1,), name="skip_conv")(h)
+        return x + res, skip
+
+
+class ConvTasNet(nn.Module):
+    cfg: ConvTasNetConfig
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray) -> jnp.ndarray:
+        """wav [B, T] → sources [B, n_src, T]."""
+        cfg = self.cfg
+        t_in = wav.shape[-1]
+        stride = cfg.stride
+        pad = (-(t_in - cfg.enc_kernel)) % stride
+        x = jnp.pad(wav, ((0, 0), (0, pad)))[..., None]  # [B, T, 1]
+
+        # encoder
+        w = jax.nn.relu(
+            nn.Conv(cfg.enc_dim, (cfg.enc_kernel,), strides=(stride,),
+                    padding="VALID", use_bias=False, name="encoder")(x))
+        frames = w.shape[1]
+
+        # separator
+        h = GlobalLayerNorm(name="ln_in")(w)
+        h = nn.Conv(cfg.bottleneck, (1,), name="bottleneck")(h)
+        skip_sum = 0.0
+        for r in range(cfg.n_repeats):
+            for b in range(cfg.n_blocks):
+                h, skip = TCNBlock(cfg.hidden, cfg.skip, cfg.bottleneck,
+                                   cfg.kernel, 2 ** b, name=f"tcn_{r}_{b}")(h)
+                skip_sum = skip_sum + skip
+        m = PReLU(name="mask_prelu")(skip_sum)
+        m = nn.Conv(cfg.n_src * cfg.enc_dim, (1,), name="mask_conv")(m)
+        if cfg.mask_act == "relu":
+            m = jax.nn.relu(m)
+        else:
+            m = jax.nn.sigmoid(m)
+        m = m.reshape(m.shape[0], frames, cfg.n_src, cfg.enc_dim)
+
+        # decoder: masked encoder features → transposed conv per source
+        masked = w[:, :, None, :] * m  # [B, F, S, N]
+        masked = masked.transpose(0, 2, 1, 3).reshape(-1, frames, cfg.enc_dim)
+        kernel = self.param("decoder_kernel", nn.initializers.lecun_normal(),
+                            (cfg.enc_kernel, 1, cfg.enc_dim))
+        y = jax.lax.conv_general_dilated(
+            masked,
+            jnp.flip(kernel, 0).transpose(0, 2, 1),  # [L, N, 1]
+            window_strides=(1,),
+            padding=[(cfg.enc_kernel - 1, cfg.enc_kernel - 1)],
+            lhs_dilation=(stride,),
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )[..., 0]
+        y = y[:, : t_in + pad][:, :t_in]
+        return y.reshape(wav.shape[0], cfg.n_src, t_in)
+
+
+def separate_streaming(model: ConvTasNet, params, wav: np.ndarray,
+                       segment_sec: float = 2.4, hop_sec: float = 0.8) -> np.ndarray:
+    """Overlap-add streaming (the reference tool's 2.4 s / 0.8 s contract,
+    audio-chatgpt.py:976-987) with triangular cross-fade."""
+    cfg = model.cfg
+    sr = cfg.sample_rate
+    seg = int(segment_sec * sr)
+    hop = int(hop_sec * sr)
+    t = len(wav)
+    if t <= seg:
+        out = np.asarray(model.apply(params, jnp.asarray(wav[None])))[0]
+        return out
+    fn = jax.jit(lambda p, x: model.apply(p, x))
+    acc = np.zeros((cfg.n_src, t), np.float64)
+    norm = np.zeros(t, np.float64)
+    win = np.hanning(seg) + 1e-3
+    for start in range(0, t - seg + hop, hop):
+        end = min(start + seg, t)
+        chunk = np.zeros(seg, np.float32)
+        chunk[: end - start] = wav[start:end]
+        out = np.asarray(fn(params, jnp.asarray(chunk[None])))[0]
+        acc[:, start:end] += out[:, : end - start] * win[: end - start]
+        norm[start:end] += win[: end - start]
+    return (acc / np.maximum(norm, 1e-8)).astype(np.float32)

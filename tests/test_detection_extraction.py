@@ -132,3 +132,44 @@ class TestBinaural:
         g = jax.grad(loss)(wf)
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0
+
+
+class TestConvTasNet:
+    @staticmethod
+    def _tiny():
+        from audiogpt_tpu.models.separation import ConvTasNet, ConvTasNetConfig
+
+        cfg = ConvTasNetConfig(n_src=2, enc_dim=32, enc_kernel=16,
+                               bottleneck=16, hidden=32, skip=16,
+                               n_blocks=3, n_repeats=1)
+        return ConvTasNet(cfg), cfg
+
+    def test_shapes(self):
+        model, cfg = self._tiny()
+        wav = jnp.zeros((2, 4000))
+        v = model.init(jax.random.PRNGKey(0), wav)
+        out = model.apply(v, wav)
+        assert out.shape == (2, 2, 4000)
+
+    def test_streaming_matches_offline_roughly(self):
+        from audiogpt_tpu.models.separation.convtasnet import separate_streaming
+
+        model, cfg = self._tiny()
+        rng = np.random.RandomState(0)
+        wav = rng.randn(16000 * 3).astype(np.float32) * 0.1
+        v = model.init(jax.random.PRNGKey(0), jnp.asarray(wav[None, :4000]))
+        out = separate_streaming(model, v, wav)
+        assert out.shape == (2, len(wav))
+        assert np.isfinite(out).all()
+
+    def test_gradients_flow(self):
+        model, cfg = self._tiny()
+        wav = jnp.asarray(np.random.RandomState(0).randn(1, 2000).astype(np.float32))
+        v = model.init(jax.random.PRNGKey(0), wav)
+
+        def loss(p):
+            return jnp.mean(model.apply(p, wav) ** 2)
+
+        g = jax.grad(loss)(v)
+        total = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
+        assert np.isfinite(total) and total > 0
