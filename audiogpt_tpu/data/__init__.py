@@ -1,0 +1,26 @@
+"""Data pipeline: record store, batching, binarization, host loader.
+
+TPU-native replacement for the reference's L1 layer (SURVEY.md §1):
+``IndexedDataset`` (``NeuralSeq/utils/indexed_datasets.py``), the
+preprocess/binarize scripts (``data_gen/tts/base_binarizer.py``), and the
+torch DataLoader + DistributedSampler input pipeline.
+"""
+
+from audiogpt_tpu.data.batching import (
+    BucketSpec, EndlessSampler, batch_by_size, collate_1d, collate_2d,
+    ordered_indices,
+)
+from audiogpt_tpu.data.binarizer import (
+    BinarizeConfig, Item, TTSBinarizer, load_phone_encoder, load_split,
+    mel2ph_from_durations,
+)
+from audiogpt_tpu.data.loader import TTSDataLoader, collate_tts, prefetch
+from audiogpt_tpu.data.records import RecordDataset, RecordWriter
+
+__all__ = [
+    "BucketSpec", "EndlessSampler", "batch_by_size", "collate_1d",
+    "collate_2d", "ordered_indices", "BinarizeConfig", "Item",
+    "TTSBinarizer", "load_phone_encoder", "load_split",
+    "mel2ph_from_durations", "TTSDataLoader", "collate_tts", "prefetch",
+    "RecordDataset", "RecordWriter",
+]

@@ -1,0 +1,190 @@
+"""Dataset preprocessing + binarization for TTS/SVS training.
+
+Reference pipeline (``NeuralSeq/data_gen/tts/base_binarizer.py:22-220``):
+metadata CSV → per-item {phonemes, mel, f0, mel2ph alignment, spk} → pickled
+``IndexedDataset`` shards + ``phone_set.json`` / ``spk_map.json`` / length and
+f0-statistics sidecars.
+
+TPU re-design: the per-item compute (mel, f0) runs **batched on device**
+through the shared DSP frontend instead of librosa/parselmouth per-file on
+host CPU; records land in the no-pickle :mod:`records` format. MFA forced
+alignment is an external tool in the reference (``mfa align``, invoked at
+inference in ``GenerSpeech.py:55``!); here alignments are an *optional* input
+(``durations`` per item) — models that need mel2ph read it when present.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Iterable, Mapping, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from audiogpt_tpu.data.records import RecordDataset, RecordWriter
+from audiogpt_tpu.dsp.f0 import continuous_lf0, cwt_lf0, estimate_f0, f0_to_coarse, norm_scale
+from audiogpt_tpu.dsp.mel import MelSpec, NEURALSEQ_MEL_22K, log_mel
+from audiogpt_tpu.text.encoder import TokenTextEncoder
+from audiogpt_tpu.text.frontend import EnglishFrontend
+
+
+@dataclasses.dataclass(frozen=True)
+class BinarizeConfig:
+    mel: MelSpec = NEURALSEQ_MEL_22K
+    with_f0: bool = True
+    with_f0cwt: bool = False
+    with_wav: bool = False
+    f0_fmin: float = 80.0
+    f0_fmax: float = 750.0
+    valid_fraction: float = 0.05
+    test_items: int = 0
+    min_sec: float = 0.0
+    max_sec: float = 60.0
+
+
+@dataclasses.dataclass
+class Item:
+    """One utterance of raw input. ``text`` OR pre-phonemized ``phones`` must
+    be given; ``durations`` (frames per phone) is the optional alignment."""
+
+    name: str
+    wav: np.ndarray            # [T] float32 at cfg.mel.sr
+    text: str | None = None
+    phones: Sequence[str] | None = None
+    spk: str = "SPK1"
+    durations: Sequence[int] | None = None
+
+
+def mel2ph_from_durations(durations: Sequence[int], n_frames: int) -> np.ndarray:
+    """Per-frame phone index (1-based; 0 = padding), the reference's
+    ``mel2ph`` encoding (``data_gen_utils.get_mel2ph``)."""
+    out = np.zeros(n_frames, np.int32)
+    t = 0
+    for i, d in enumerate(durations, start=1):
+        out[t:t + int(d)] = i
+        t += int(d)
+    return out
+
+
+class TTSBinarizer:
+    """Drive with ``binarize(items, out_dir)``; reload shards with
+    :func:`load_split`."""
+
+    def __init__(self, cfg: BinarizeConfig | None = None,
+                 frontend: EnglishFrontend | None = None):
+        self.cfg = cfg or BinarizeConfig()
+        self.frontend = frontend or EnglishFrontend()
+
+    # -- vocab ---------------------------------------------------------------
+    def build_vocabs(self, items: Iterable[Item]) -> tuple[TokenTextEncoder, dict]:
+        phones: set[str] = set()
+        spks: set[str] = set()
+        for it in items:
+            phones.update(self._phones_of(it))
+            spks.add(it.spk)
+        enc = EnglishFrontend.build_phone_vocab(sorted(phones))
+        spk_map = {s: i for i, s in enumerate(sorted(spks))}
+        return enc, spk_map
+
+    def _phones_of(self, it: Item) -> list[str]:
+        if it.phones is not None:
+            return list(it.phones)
+        if it.text is None:
+            raise ValueError(f"item {it.name}: need text or phones")
+        return self.frontend(it.text).phones
+
+    # -- per-item ------------------------------------------------------------
+    def process_item(self, it: Item, enc: TokenTextEncoder,
+                     spk_map: Mapping[str, int]) -> dict[str, Any] | None:
+        cfg = self.cfg
+        sec = len(it.wav) / cfg.mel.sr
+        if not (cfg.min_sec <= sec <= cfg.max_sec):
+            return None
+        phones = self._phones_of(it)
+        tokens = np.asarray(enc.encode(phones), np.int32)
+
+        wav = np.asarray(it.wav, np.float32)
+        mel = np.asarray(log_mel(jnp.asarray(wav), cfg.mel))  # [T, n_mels]
+        rec: dict[str, Any] = {
+            "item_name": it.name,
+            "txt": it.text or " ".join(phones),
+            "ph": " ".join(phones),
+            "tokens": tokens,
+            "mel": mel.astype(np.float32),
+            "spk_id": int(spk_map.get(it.spk, 0)),
+            "len": int(mel.shape[0]),
+            "sec": float(sec),
+        }
+        if cfg.with_f0:
+            f0, uv = estimate_f0(
+                jnp.asarray(wav), sr=cfg.mel.sr, hop=cfg.mel.hop,
+                fmin=cfg.f0_fmin, fmax=cfg.f0_fmax)
+            f0 = np.asarray(f0)[: mel.shape[0]]
+            f0 = np.pad(f0, (0, mel.shape[0] - len(f0)))
+            rec["f0"] = f0.astype(np.float32)
+            rec["pitch"] = f0_to_coarse(f0)
+            if cfg.with_f0cwt and (f0 > 0).any():
+                uv_, lf0 = continuous_lf0(f0)
+                lf0_norm = (lf0 - lf0[uv_ > 0].mean()) / max(lf0[uv_ > 0].std(), 1e-8)
+                W, _scales = cwt_lf0(lf0_norm)
+                Wn, _, _ = norm_scale(W)
+                rec["cwt_spec"] = Wn.astype(np.float32)
+                rec["f0_mean"] = float(lf0[uv_ > 0].mean())
+                rec["f0_std"] = float(lf0[uv_ > 0].std())
+        if it.durations is not None:
+            rec["mel2ph"] = mel2ph_from_durations(it.durations, mel.shape[0])
+        if cfg.with_wav:
+            rec["wav"] = wav
+        return rec
+
+    # -- driver --------------------------------------------------------------
+    def binarize(self, items: Sequence[Item], out_dir: str) -> dict[str, int]:
+        """Split train/valid/test, write shards + sidecars; returns counts."""
+        cfg = self.cfg
+        os.makedirs(out_dir, exist_ok=True)
+        enc, spk_map = self.build_vocabs(items)
+        enc.save(os.path.join(out_dir, "phone_set.json"))
+        with open(os.path.join(out_dir, "spk_map.json"), "w") as f:
+            json.dump(spk_map, f)
+
+        n_test = cfg.test_items
+        n_valid = max(1, int(len(items) * cfg.valid_fraction)) if len(items) > 1 else 0
+        splits = {
+            "test": items[:n_test],
+            "valid": items[n_test:n_test + n_valid],
+            "train": items[n_test + n_valid:],
+        }
+        counts = {}
+        for split, split_items in splits.items():
+            writer = RecordWriter(os.path.join(out_dir, split))
+            lengths, f0s = [], []
+            for it in split_items:
+                rec = self.process_item(it, enc, spk_map)
+                if rec is None:
+                    continue
+                writer.add(rec)
+                lengths.append(rec["len"])
+                if "f0" in rec:
+                    f0s.append(rec["f0"])
+            writer.finalize()
+            counts[split] = len(lengths)
+            np.save(os.path.join(out_dir, f"{split}_lengths.npy"),
+                    np.asarray(lengths, np.int64))
+            if f0s and split == "train":
+                cat = np.concatenate(f0s)
+                voiced = cat[cat > 0]
+                stats = [float(voiced.mean()), float(voiced.std())] \
+                    if voiced.size else [0.0, 1.0]
+                np.save(os.path.join(out_dir, "train_f0s_mean_std.npy"),
+                        np.asarray(stats))
+        return counts
+
+
+def load_split(out_dir: str, split: str) -> RecordDataset:
+    return RecordDataset(os.path.join(out_dir, split))
+
+
+def load_phone_encoder(out_dir: str) -> TokenTextEncoder:
+    return TokenTextEncoder.from_file(os.path.join(out_dir, "phone_set.json"))

@@ -1,0 +1,148 @@
+"""Host input pipeline: records → static-shape device batches.
+
+The reference uses torch ``DataLoader`` with per-batch dynamic padding
+(``FastSpeechDataset.collater`` in ``NeuralSeq/tasks/tts/dataset_utils.py``)
+— fine for CUDA, a recompile storm on TPU. Here every emitted batch is padded
+to a :class:`~audiogpt_tpu.data.batching.BucketSpec` rung, so the jitted
+train step compiles once per (batch, length) bucket. Dummy rows carry
+``weight 0`` so loss math is unchanged.
+
+A background thread keeps ``prefetch`` batches ready (the reference's
+``ds_workers``); batches are plain numpy — device placement happens in the
+trainer via :func:`audiogpt_tpu.parallel.mesh.shard_batch`.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Iterator, Sequence
+
+import numpy as np
+
+from audiogpt_tpu.data.batching import (
+    BucketSpec, EndlessSampler, batch_by_size, collate_1d, collate_2d,
+    ordered_indices,
+)
+from audiogpt_tpu.data.records import RecordDataset
+
+
+def collate_tts(samples: list[dict[str, Any]], spec: BucketSpec | None,
+                n_mels: int) -> dict[str, np.ndarray]:
+    """Pad a list of binarized TTS records into one static-shape batch.
+
+    Emits the reference's batch schema (``dataset_utils.py`` collater):
+    txt_tokens, txt_lengths, mels, mel_lengths, (f0, uv, pitch, mel2ph,
+    cwt_spec when present), spk_ids, plus ``weight`` [B] marking real rows.
+    """
+    tok_len = max(len(s["tokens"]) for s in samples)
+    mel_len = max(s["mel"].shape[0] for s in samples)
+    bsz = len(samples)
+    if spec is not None:
+        tok_len = spec.round_len(tok_len)
+        mel_len = spec.round_len(mel_len)
+        bsz = spec.round_batch(bsz)
+
+    def pad_rows(x: np.ndarray) -> np.ndarray:
+        if x.shape[0] == bsz:
+            return x
+        pad = np.zeros((bsz - x.shape[0],) + x.shape[1:], x.dtype)
+        return np.concatenate([x, pad], axis=0)
+
+    batch = {
+        "txt_tokens": pad_rows(collate_1d([s["tokens"] for s in samples],
+                                          max_len=tok_len)),
+        "txt_lengths": pad_rows(np.asarray([len(s["tokens"]) for s in samples],
+                                           np.int32)),
+        "mels": pad_rows(collate_2d([s["mel"] for s in samples],
+                                    max_len=mel_len)),
+        "mel_lengths": pad_rows(np.asarray([s["mel"].shape[0] for s in samples],
+                                           np.int32)),
+        "spk_ids": pad_rows(np.asarray([s.get("spk_id", 0) for s in samples],
+                                       np.int32)),
+        "weight": pad_rows(np.ones(len(samples), np.float32)),
+    }
+    for key in ("f0", "uv", "pitch", "mel2ph"):
+        if key in samples[0]:
+            dtype = np.int32 if key in ("pitch", "mel2ph") else np.float32
+            batch[key] = pad_rows(collate_1d(
+                [np.asarray(s[key], dtype) for s in samples], max_len=mel_len))
+    if "cwt_spec" in samples[0]:
+        batch["cwt_spec"] = pad_rows(collate_2d(
+            [s["cwt_spec"] for s in samples], max_len=mel_len))
+        batch["f0_mean"] = pad_rows(np.asarray(
+            [s.get("f0_mean", 0.0) for s in samples], np.float32))
+        batch["f0_std"] = pad_rows(np.asarray(
+            [s.get("f0_std", 1.0) for s in samples], np.float32))
+    return batch
+
+
+class TTSDataLoader:
+    """Token-budget batches over a RecordDataset, reshuffled every epoch.
+
+    ``shard``/``num_shards`` split batches across hosts (multi-host input:
+    replaces ``DistributedSampler``, ``pl_utils.py:1318``).
+    """
+
+    def __init__(self, ds: RecordDataset, max_tokens: int = 30000,
+                 max_sentences: int = 100, spec: BucketSpec | None = None,
+                 sizes: Sequence[int] | None = None, n_mels: int = 80,
+                 shuffle: bool = True, seed: int = 1234,
+                 shard: int = 0, num_shards: int = 1,
+                 required_batch_size_multiple: int = 1,
+                 collate_fn: Callable[..., dict] | None = None):
+        self.ds = ds
+        self.spec = spec
+        self.n_mels = n_mels
+        self.max_tokens = max_tokens
+        self.max_sentences = max_sentences
+        self.bsz_mult = required_batch_size_multiple
+        self.shuffle = shuffle
+        self.seed = seed
+        self.shard, self.num_shards = shard, num_shards
+        self.collate_fn = collate_fn or collate_tts
+        if sizes is None:
+            sizes = [ds[i]["len"] for i in range(len(ds))]
+        self.sizes = np.asarray(sizes, np.int64)
+
+    def batches_for_epoch(self, epoch: int) -> list[list[int]]:
+        idx = ordered_indices(self.sizes, shuffle=self.shuffle,
+                              seed=(self.seed, epoch) if self.shuffle else None)
+        batches = batch_by_size(
+            idx, lambda i: int(self.sizes[i]), self.max_tokens,
+            self.max_sentences, self.bsz_mult)
+        # deterministic batch-order shuffle, identical on every host
+        rng = np.random.default_rng((self.seed, epoch, 7))
+        order = rng.permutation(len(batches)) if self.shuffle else np.arange(len(batches))
+        batches = [batches[i] for i in order]
+        return batches[self.shard::self.num_shards]
+
+    def epoch(self, epoch: int) -> Iterator[dict[str, np.ndarray]]:
+        for b in self.batches_for_epoch(epoch):
+            yield self.collate_fn([self.ds[i] for i in b], self.spec, self.n_mels)
+
+    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        e = 0
+        while True:
+            yield from self.epoch(e)
+            e += 1
+
+
+def prefetch(it: Iterator[Any], depth: int = 2) -> Iterator[Any]:
+    """Run ``it`` in a daemon thread, keeping ``depth`` items ready."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    done = object()
+
+    def worker():
+        try:
+            for x in it:
+                q.put(x)
+        finally:
+            q.put(done)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        x = q.get()
+        if x is done:
+            return
+        yield x

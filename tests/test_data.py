@@ -1,0 +1,211 @@
+"""Data pipeline tests: record store, batching policy, f0/CWT, binarizer,
+loader static shapes. (SURVEY.md §4: the reference has no tests — this is the
+test pyramid it lacked.)"""
+
+import numpy as np
+import pytest
+
+from audiogpt_tpu.data import (
+    BucketSpec, EndlessSampler, Item, RecordDataset, RecordWriter,
+    TTSBinarizer, TTSDataLoader, batch_by_size, collate_tts,
+    load_phone_encoder, load_split, mel2ph_from_durations, ordered_indices,
+)
+from audiogpt_tpu.data.binarizer import BinarizeConfig
+from audiogpt_tpu.dsp import f0 as f0lib
+
+
+# -- records ---------------------------------------------------------------
+
+def test_record_roundtrip(tmp_path):
+    prefix = str(tmp_path / "train")
+    recs = [
+        {"mel": np.random.randn(17, 4).astype(np.float32),
+         "tokens": np.arange(5, dtype=np.int32),
+         "item_name": f"it{i}", "len": 17, "sec": 0.5}
+        for i in range(7)
+    ]
+    with RecordWriter(prefix) as w:
+        for r in recs:
+            w.add(r)
+    ds = RecordDataset(prefix)
+    assert len(ds) == 7
+    got = ds[3]
+    np.testing.assert_array_equal(got["mel"], recs[3]["mel"])
+    np.testing.assert_array_equal(got["tokens"], recs[3]["tokens"])
+    assert got["item_name"] == "it3" and got["len"] == 17
+    # random access out of order
+    assert ds[6]["item_name"] == "it6"
+    assert ds[0]["item_name"] == "it0"
+
+
+def test_record_rejects_object_dtype(tmp_path):
+    w = RecordWriter(str(tmp_path / "x"))
+    with pytest.raises(TypeError):
+        w.add({"bad": np.asarray([{"a": 1}], dtype=object)})
+
+
+# -- batching --------------------------------------------------------------
+
+def test_ordered_indices_stable_sort():
+    sizes = [5, 3, 5, 3, 5, 9]
+    idx = ordered_indices(sizes, shuffle=True, seed=0)
+    got_sizes = [sizes[i] for i in idx]
+    assert got_sizes == sorted(sizes)
+
+
+def test_batch_by_size_budget():
+    sizes = {i: s for i, s in enumerate([10, 10, 10, 20, 20, 30, 30, 40])}
+    batches = batch_by_size(list(range(8)), lambda i: sizes[i],
+                            max_tokens=60, max_sentences=4)
+    # every batch obeys the (len(batch) * max_item_len) <= max_tokens rule
+    for b in batches:
+        assert len(b) <= 4
+        assert len(b) * max(sizes[i] for i in b) <= 60
+    assert sorted(i for b in batches for i in b) == list(range(8))
+
+
+def test_batch_by_size_multiple():
+    batches = batch_by_size(list(range(10)), lambda i: 10,
+                            max_tokens=45, max_sentences=None,
+                            required_batch_size_multiple=2)
+    assert all(len(b) % 2 == 0 or b is batches[-1] for b in batches)
+
+
+def test_endless_sampler_sharding():
+    s0 = EndlessSampler(10, seed=3, shard=0, num_shards=2)
+    s1 = EndlessSampler(10, seed=3, shard=1, num_shards=2)
+    e0, e1 = s0.epoch_indices(4), s1.epoch_indices(4)
+    assert sorted(list(e0) + list(e1)) == list(range(10))
+    # deterministic across constructions
+    np.testing.assert_array_equal(e0, EndlessSampler(10, 3, 0, 2).epoch_indices(4))
+
+
+def test_bucketspec():
+    spec = BucketSpec.dyadic(max_len=1024, max_batch=16, min_len=128)
+    assert spec.round_len(1) == 128
+    assert spec.round_len(129) == 256
+    assert spec.round_len(4000) == 1024
+    assert spec.round_batch(3) == 4
+
+
+# -- f0 / cwt --------------------------------------------------------------
+
+def test_estimate_f0_sine():
+    sr, hz = 22050, 220.0
+    t = np.arange(sr) / sr
+    wav = np.sin(2 * np.pi * hz * t).astype(np.float32)
+    f0, uv = f0lib.estimate_f0(wav, sr=sr, hop=256)
+    f0 = np.asarray(f0)
+    voiced = f0[np.asarray(uv) > 0]
+    # interior frames should lock onto 220 Hz within 3%
+    assert voiced.size > 40
+    assert abs(np.median(voiced) - hz) / hz < 0.03
+
+
+def test_estimate_f0_silence():
+    wav = np.zeros(22050, np.float32)
+    f0, uv = f0lib.estimate_f0(wav, sr=22050, hop=256)
+    assert np.asarray(uv).sum() == 0
+
+
+def test_f0_to_coarse_range():
+    f0 = np.asarray([0.0, 50.0, 220.0, 1100.0])
+    c = f0lib.f0_to_coarse(f0)
+    assert c.min() >= 1 and c.max() <= 255
+    assert c[1] < c[2] < c[3]
+
+
+def test_continuous_f0_interpolates():
+    f0 = np.asarray([0, 0, 100, 0, 0, 200, 0], np.float32)
+    uv, cont = f0lib.continuous_f0(f0)
+    np.testing.assert_array_equal(uv, [0, 0, 1, 0, 0, 1, 0])
+    assert cont[0] == 100 and cont[-1] == 200
+    assert 100 < cont[3] < 200 and 100 < cont[4] < 200
+
+
+def test_cwt_shapes_and_inverse_correlation():
+    rng = np.random.default_rng(0)
+    n = 256
+    # smooth lf0-like signal
+    x = np.cumsum(rng.normal(size=n)) * 0.05
+    x = (x - x.mean()) / x.std()
+    W, scales = f0lib.cwt_lf0(x)
+    assert W.shape == (n, 10) and len(scales) == 10
+    rec = f0lib.inverse_cwt(W[None])[0]
+    # the reference's fixed-weight inverse is approximate: demand strong
+    # correlation with the input, not equality
+    corr = np.corrcoef(rec[8:-8], x[8:-8])[0, 1]
+    assert corr > 0.85
+
+
+def test_cwt2f0_roundtrip():
+    n = 200
+    t = np.arange(n)
+    f0 = 200 + 40 * np.sin(2 * np.pi * t / 80)
+    uv, lf0 = f0lib.continuous_lf0(f0)
+    m, s = lf0.mean(), lf0.std()
+    W, _ = f0lib.cwt_lf0((lf0 - m) / s)
+    Wn, _, _ = f0lib.norm_scale(W)
+    # norm_scale then cwt2f0 with per-utt stats: check magnitude sanity
+    f0_rec = f0lib.cwt2f0(Wn[None], np.asarray([m]), np.asarray([s]))[0]
+    assert f0_rec.shape == (n,)
+    assert 100 < np.median(f0_rec) < 400
+
+
+# -- binarizer + loader ----------------------------------------------------
+
+def _toy_items(n=12, sr=22050):
+    rng = np.random.default_rng(0)
+    texts = ["hello world", "the quick brown fox", "jumps over", "a lazy dog"]
+    items = []
+    for i in range(n):
+        dur = 0.3 + 0.1 * (i % 4)
+        t = np.arange(int(sr * dur)) / sr
+        wav = 0.3 * np.sin(2 * np.pi * (150 + 20 * (i % 5)) * t)
+        wav += 0.01 * rng.normal(size=len(t))
+        items.append(Item(name=f"it{i}", wav=wav.astype(np.float32),
+                          text=texts[i % 4], spk=f"spk{i % 2}"))
+    return items
+
+
+def test_binarize_and_load(tmp_path):
+    out = str(tmp_path / "bin")
+    cfg = BinarizeConfig(with_f0=True, with_f0cwt=True)
+    counts = TTSBinarizer(cfg).binarize(_toy_items(), out)
+    assert counts["train"] >= 8 and counts["valid"] >= 1
+    ds = load_split(out, "train")
+    rec = ds[0]
+    assert rec["mel"].shape[1] == 80
+    assert rec["tokens"].dtype == np.int32
+    assert rec["f0"].shape[0] == rec["mel"].shape[0]
+    assert rec["cwt_spec"].shape == (rec["mel"].shape[0], 10)
+    enc = load_phone_encoder(out)
+    assert enc.encode(rec["ph"].split(" "))  # vocab covers stored phones
+
+    spec = BucketSpec.dyadic(max_len=512, max_batch=8, min_len=32)
+    loader = TTSDataLoader(ds, max_tokens=2000, max_sentences=4, spec=spec)
+    batch = next(iter(loader))
+    B, L = batch["mels"].shape[:2]
+    assert B in spec.batch_buckets and L in spec.length_buckets
+    assert batch["txt_tokens"].shape[0] == B
+    assert batch["weight"].sum() <= B
+    # padded dummy rows are zero-weight
+    real = int(batch["weight"].sum())
+    assert np.all(batch["weight"][:real] == 1)
+
+
+def test_loader_multihost_split(tmp_path):
+    out = str(tmp_path / "bin")
+    TTSBinarizer(BinarizeConfig(with_f0=False)).binarize(_toy_items(8), out)
+    ds = load_split(out, "train")
+    l0 = TTSDataLoader(ds, max_tokens=500, max_sentences=2, shard=0, num_shards=2)
+    l1 = TTSDataLoader(ds, max_tokens=500, max_sentences=2, shard=1, num_shards=2)
+    b0 = l0.batches_for_epoch(0)
+    b1 = l1.batches_for_epoch(0)
+    all_batches = TTSDataLoader(ds, max_tokens=500, max_sentences=2).batches_for_epoch(0)
+    assert b0 == all_batches[0::2] and b1 == all_batches[1::2]
+
+
+def test_mel2ph_from_durations():
+    m = mel2ph_from_durations([2, 3, 1], 8)
+    np.testing.assert_array_equal(m, [1, 1, 2, 2, 2, 3, 0, 0])
