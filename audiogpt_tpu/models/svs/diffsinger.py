@@ -192,6 +192,13 @@ class DiffSinger(nn.Module):
         ret = self.fs2(tokens, mel2ph=mel2ph, infer=False, **kw)
         return ret["decoder_inp"], self.norm_spec(ref_mels)
 
+    def train_loss_inputs_full(self, tokens, mel2ph, ref_mels, **kw):
+        """Like :meth:`train_loss_inputs` but also returns the FS2 output
+        dict so the task can add the aux duration/pitch losses
+        (``diffsinger_task.py:30`` trains the conditioner jointly)."""
+        ret = self.fs2(tokens, mel2ph=mel2ph, infer=False, **kw)
+        return ret["decoder_inp"], self.norm_spec(ref_mels), ret
+
     def __call__(self, tokens, mel2ph=None, pitch_midi=None, midi_dur=None,
                  is_slur=None, rng=None, pndm_speedup: int | None = 10):
         """Full inference: score → mel (denormalized). One traced program."""

@@ -1,0 +1,73 @@
+"""Sharded checkpoint store (Orbax-backed).
+
+Reference semantics reproduced (SURVEY.md §5 checkpoint/resume):
+  * keep the newest ``num_ckpt_keep`` checkpoints by step
+    (``LatestModelCheckpoint``, ``pl_utils.py:284-353``),
+  * optional best-by-``val_loss`` retention,
+  * atomic writes (reference: ``.part`` + ``os.replace``,
+    ``pl_utils.py:722-737``; Orbax commits via atomic directory rename),
+  * resume-from-newest on restart (``restore_state_if_checkpoint_exists``,
+    ``pl_utils.py:628-659``).
+
+TPU upgrade over the reference: checkpoints are **sharding-aware** — each
+host writes only its addressable shards, and restore places arrays straight
+onto the mesh with their original ``NamedSharding`` (no host gather, no OOM
+dance like ``pl_utils.py:706-712``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Mapping
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointStore:
+    def __init__(self, work_dir: str, num_keep: int = 3,
+                 monitor: str | None = "total_loss", mode: str = "min"):
+        self.directory = os.path.join(os.path.abspath(work_dir), "ckpt")
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=num_keep,
+            best_fn=(lambda m: m[monitor]) if monitor else None,
+            best_mode=mode if monitor else "min",
+            keep_checkpoints_without_metrics=True,
+            create=True,
+            enable_async_checkpointing=False,
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state: Any,
+             metrics: Mapping[str, float] | None = None) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state),
+                       metrics=dict(metrics) if metrics else None)
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def best_step(self) -> int | None:
+        return self._mgr.best_step()
+
+    def restore(self, state_like: Any, step: int | None = None) -> Any:
+        """``state_like``: a pytree of arrays OR jax.ShapeDtypeStructs (with
+        shardings) matching the saved layout."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        abstract = jax.tree.map(
+            lambda x: x if isinstance(x, jax.ShapeDtypeStruct)
+            else jax.ShapeDtypeStruct(
+                getattr(x, "shape", ()), getattr(x, "dtype", None) or
+                jax.numpy.asarray(x).dtype,
+                sharding=getattr(x, "sharding", None)),
+            state_like)
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+
+    def all_steps(self) -> list[int]:
+        return list(self._mgr.all_steps())
+
+    def close(self):
+        self._mgr.close()

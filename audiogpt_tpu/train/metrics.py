@@ -1,0 +1,88 @@
+"""Training metrics + observability.
+
+Reference: ``AvgrageMeter`` (``NeuralSeq/utils/__init__.py:28``), TensorBoard
+via rank-0-only ``TensorBoardLogger`` (``tasks/base_task.py:237``,
+``pl_utils.py:934``). Here: the same epoch meters, a machine-readable JSONL
+stream (one line per log event — greppable, no TB dependency), and an
+optional TensorBoard writer when torch's is importable. Multi-host: only
+process 0 writes (replaces rank-0 checks).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Mapping
+
+import jax
+import numpy as np
+
+
+class AvgMeter:
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.avg, self.sum, self.cnt = 0.0, 0.0, 0
+
+    def update(self, val: float, n: int = 1):
+        if not np.isfinite(val):
+            return  # reference skips NaN losses in meters (base_task.py:137)
+        self.sum += val * n
+        self.cnt += n
+        self.avg = self.sum / max(self.cnt, 1)
+
+
+class MeterBank:
+    def __init__(self):
+        self._meters: dict[str, AvgMeter] = {}
+
+    def update(self, metrics: Mapping[str, Any], n: int = 1):
+        for k, v in metrics.items():
+            v = float(np.asarray(v))
+            self._meters.setdefault(k, AvgMeter()).update(v, n)
+
+    def averages(self) -> dict[str, float]:
+        return {k: m.avg for k, m in self._meters.items()}
+
+    def reset(self):
+        for m in self._meters.values():
+            m.reset()
+
+
+class MetricsLogger:
+    """JSONL + optional TensorBoard, process-0 only."""
+
+    def __init__(self, work_dir: str, use_tensorboard: bool = True):
+        self.work_dir = work_dir
+        self.is_main = jax.process_index() == 0
+        self._f = None
+        self._tb = None
+        if not self.is_main:
+            return
+        os.makedirs(work_dir, exist_ok=True)
+        self._f = open(os.path.join(work_dir, "metrics.jsonl"), "a")
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(os.path.join(work_dir, "tb"))
+            except Exception:
+                self._tb = None
+
+    def log(self, step: int, metrics: Mapping[str, Any], prefix: str = "tr"):
+        if not self.is_main:
+            return
+        scalars = {k: float(np.asarray(v)) for k, v in metrics.items()}
+        self._f.write(json.dumps(
+            {"step": step, "t": time.time(), "prefix": prefix, **scalars}) + "\n")
+        self._f.flush()
+        if self._tb is not None:
+            for k, v in scalars.items():
+                self._tb.add_scalar(f"{prefix}/{k}", v, step)
+
+    def close(self):
+        if self._f:
+            self._f.close()
+        if self._tb:
+            self._tb.close()

@@ -1,0 +1,245 @@
+"""Training runtime tests: optimizers, SSIM, trainer loop (loss decreases,
+checkpoints, resume), GAN vocoder recipe, DiffSinger recipe — all on the
+8-device virtual CPU mesh (SURVEY.md §4(d))."""
+
+import glob
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audiogpt_tpu.models.tts.fastspeech2 import FastSpeech2Config
+from audiogpt_tpu.train import (OptimConfig, Trainer, TrainerConfig,
+                                make_optimizer, warmup_rsqrt_schedule)
+from audiogpt_tpu.train.ssim import ssim, ssim_loss
+from audiogpt_tpu.train.tasks import (FS2Task, FS2TaskConfig,
+                                      VocoderGANTask, VocoderGANTaskConfig)
+
+
+# -- optim -----------------------------------------------------------------
+
+def test_rsqrt_schedule():
+    s = warmup_rsqrt_schedule(lr=2.0, warmup_steps=100, hidden_size=64)
+    vals = [float(s(jnp.asarray(t))) for t in [0, 50, 99, 100, 400]]
+    assert vals[0] < vals[1] < vals[2]          # warmup rises
+    assert vals[4] < vals[3]                    # decay after warmup
+    # peak ≈ lr * d^-.5 * warmup^-.5
+    assert abs(vals[3] - 2.0 * 64 ** -0.5 * 101 ** -0.5) / vals[3] < 0.05
+
+
+def test_accumulation_matches_big_batch():
+    # MultiSteps(k=2) on half-batches == single step on full batch (for SGD-
+    # like first step of adam the update direction matches; check params equal)
+    def loss(p, x):
+        return jnp.mean((x @ p) ** 2)
+
+    p0 = jnp.ones((4, 2))
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 4))
+
+    tx_full = make_optimizer(OptimConfig(schedule="constant", lr=0.1,
+                                         clip_grad_norm=0.0))
+    s_full = tx_full.init(p0)
+    g_full = jax.grad(loss)(p0, x)
+    u, _ = tx_full.update(g_full, s_full, p0)
+    p_full = jax.tree.map(lambda a, b: a + b, p0, u)
+
+    tx_acc = make_optimizer(OptimConfig(schedule="constant", lr=0.1,
+                                        clip_grad_norm=0.0, accumulate_steps=2))
+    s = tx_acc.init(p0)
+    p = p0
+    for half in (x[:4], x[4:]):
+        g = jax.grad(loss)(p, half)
+        u, s = tx_acc.update(g, s, p)
+        p = jax.tree.map(lambda a, b: a + b, p, u)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_full), atol=1e-5)
+
+
+# -- ssim ------------------------------------------------------------------
+
+def test_ssim_identity_and_loss():
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 40))
+    s = ssim(x, x)
+    assert float(s.mean()) > 0.999
+    mask = jnp.ones((2, 32))
+    assert float(ssim_loss(x, x, mask)) < 1e-4
+    y = x + 0.5 * jax.random.normal(jax.random.PRNGKey(1), x.shape)
+    assert float(ssim_loss(x, y, mask)) > 0.05
+
+
+# -- fs2 task + trainer ----------------------------------------------------
+
+def _tiny_fs2_task():
+    mcfg = FastSpeech2Config(
+        vocab_size=30, hidden_size=16, enc_layers=1, dec_layers=1,
+        num_heads=2, enc_ffn_kernel_size=3, dec_ffn_kernel_size=3, n_mels=20,
+        dur_predictor_layers=1, predictor_layers=1, predictor_hidden=8,
+        max_frames=32)
+    return FS2Task(FS2TaskConfig(
+        model=mcfg, lambda_ssim=0.5,
+        optim=OptimConfig(schedule="constant", lr=2e-3)))
+
+
+def _fs2_batch(rng, b=8, t=12, f=24, n_mels=20):
+    tok = rng.integers(3, 30, (b, t)).astype(np.int32)
+    mel2ph = np.repeat(np.arange(1, t + 1), f // t)[None].repeat(b, 0).astype(np.int32)
+    f0 = rng.uniform(100, 300, (b, f)).astype(np.float32)
+    uv = (rng.random((b, f)) < 0.2).astype(np.float32)
+    f0 = f0 * (1 - uv)
+    return {
+        "txt_tokens": tok, "mel2ph": mel2ph,
+        "mels": rng.normal(size=(b, f, n_mels)).astype(np.float32) * 0.5,
+        "f0": f0, "uv": uv,
+        "weight": np.ones(b, np.float32),
+    }
+
+
+def test_fs2_trainer_loss_decreases(tmp_path):
+    task = _tiny_fs2_task()
+    tcfg = TrainerConfig(work_dir=str(tmp_path), max_updates=30,
+                         val_check_interval=15, log_interval=5,
+                         num_sanity_val_steps=1, use_tensorboard=False)
+    trainer = Trainer(task, tcfg)
+    rng = np.random.default_rng(0)
+    batch = _fs2_batch(rng)
+
+    def train_gen():
+        while True:
+            yield batch
+
+    def val_gen():
+        yield batch
+
+    state = trainer.fit(train_gen(), val_gen)
+    assert int(jax.device_get(state["step"])) == 30
+
+    lines = [json.loads(l) for l in open(os.path.join(tmp_path, "metrics.jsonl"))]
+    tr = [l for l in lines if l["prefix"] == "tr"]
+    assert tr, "no training metrics logged"
+    assert tr[-1]["total_loss"] < tr[0]["total_loss"], \
+        f"loss did not decrease: {tr[0]['total_loss']} -> {tr[-1]['total_loss']}"
+    assert all(l["nonfinite"] == 0 for l in tr)
+
+    # checkpoints: kept, resumable, step preserved
+    trainer2 = Trainer(task, tcfg)
+    state2 = trainer2.restore_or_init()
+    assert int(jax.device_get(state2["step"])) == 30
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(state2["params"])[0]),
+        np.asarray(jax.tree.leaves(state["params"])[0]), atol=1e-6)
+
+
+def test_fs2_resume_continues(tmp_path):
+    task = _tiny_fs2_task()
+    tcfg = TrainerConfig(work_dir=str(tmp_path), max_updates=6,
+                         val_check_interval=3, log_interval=100,
+                         num_sanity_val_steps=0, use_tensorboard=False)
+    rng = np.random.default_rng(1)
+    batch = _fs2_batch(rng)
+
+    def gen():
+        while True:
+            yield batch
+
+    Trainer(task, tcfg).fit(gen())
+    # resume with a higher budget: should continue from 6, not restart
+    tcfg2 = TrainerConfig(work_dir=str(tmp_path), max_updates=9,
+                          val_check_interval=3, log_interval=100,
+                          num_sanity_val_steps=0, use_tensorboard=False)
+    t2 = Trainer(task, tcfg2)
+    state = t2.fit(gen())
+    assert int(jax.device_get(state["step"])) == 9
+    assert t2.store.latest_step() == 9
+
+
+# -- vocoder GAN -----------------------------------------------------------
+
+def test_vocoder_gan_steps(tmp_path):
+    cfg = VocoderGANTaskConfig(
+        gen=__import__("audiogpt_tpu.models.vocoder.hifigan",
+                       fromlist=["HifiGANConfig"]).HifiGANConfig(
+            in_channels=20, upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+            upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3),)),
+        disc=__import__("audiogpt_tpu.models.vocoder.discriminators",
+                        fromlist=["DiscriminatorConfig"]).DiscriminatorConfig(
+            periods=(2, 3), scales=2),
+        segment_frames=16)
+    task = VocoderGANTask(cfg)
+    tcfg = TrainerConfig(work_dir=str(tmp_path), max_updates=3,
+                         val_check_interval=100, log_interval=1,
+                         num_sanity_val_steps=0, use_tensorboard=False)
+    trainer = Trainer(task, tcfg)
+    rng = np.random.default_rng(0)
+    hop = cfg.gen.hop_size
+    batch = {
+        "mels": rng.normal(size=(8, 16, 20)).astype(np.float32),
+        "wav": rng.normal(size=(8, 16 * hop)).astype(np.float32) * 0.1,
+        "weight": np.ones(8, np.float32),
+    }
+
+    def gen():
+        while True:
+            yield batch
+
+    p0 = jax.device_get(trainer.restore_or_init()["params"])
+    state = trainer.fit(gen())
+    lines = [json.loads(l) for l in open(os.path.join(tmp_path, "metrics.jsonl"))]
+    tr = [l for l in lines if l["prefix"] == "tr"]
+    assert tr and np.isfinite(tr[-1]["d_loss"]) and np.isfinite(tr[-1]["g_adv"])
+    # both groups actually moved
+    p1 = jax.device_get(state["params"])
+    g0 = jax.tree.leaves(p0["gen"])[0]
+    g1 = jax.tree.leaves(p1["gen"])[0]
+    d0 = jax.tree.leaves(p0["disc"])[0]
+    d1 = jax.tree.leaves(p1["disc"])[0]
+    assert np.abs(g1 - g0).max() > 0
+    assert np.abs(d1 - d0).max() > 0
+
+
+# -- diffsinger ------------------------------------------------------------
+
+def test_diffsinger_task_step(tmp_path):
+    from audiogpt_tpu.models.svs.diffsinger import DiffNetConfig, DiffSingerConfig
+    from audiogpt_tpu.train.tasks import DiffSingerTask, DiffSingerTaskConfig
+
+    mcfg = DiffSingerConfig(
+        fs2=FastSpeech2Config(vocab_size=30, hidden_size=16, enc_layers=1,
+                              dec_layers=1, num_heads=2, enc_ffn_kernel_size=3,
+                              dec_ffn_kernel_size=3, n_mels=20,
+                              dur_predictor_layers=1, predictor_layers=1,
+                              predictor_hidden=8, max_frames=32,
+                              use_midi=True, rel_pos=True,
+                              use_pitch_embed=False),
+        net=DiffNetConfig(mel_bins=20, residual_layers=2, residual_channels=8,
+                          encoder_hidden=16),
+        timesteps=50, K_step=50,
+        spec_min=(-6.0,) * 20, spec_max=(1.5,) * 20)
+    task = DiffSingerTask(DiffSingerTaskConfig(
+        model=mcfg, optim=OptimConfig(schedule="constant", lr=1e-3)))
+    tcfg = TrainerConfig(work_dir=str(tmp_path), max_updates=3,
+                         val_check_interval=100, log_interval=1,
+                         num_sanity_val_steps=0, use_tensorboard=False)
+    trainer = Trainer(task, tcfg)
+    rng = np.random.default_rng(0)
+    b, t, f = 8, 10, 20
+    batch = {
+        "txt_tokens": rng.integers(3, 30, (b, t)).astype(np.int32),
+        "mel2ph": np.repeat(np.arange(1, t + 1), f // t)[None].repeat(b, 0).astype(np.int32),
+        "mels": rng.normal(size=(b, f, 20)).astype(np.float32),
+        "pitch_midi": rng.integers(50, 70, (b, t)).astype(np.int32),
+        "midi_dur": rng.uniform(0.1, 0.5, (b, t)).astype(np.float32),
+        "is_slur": np.zeros((b, t), np.int32),
+        "weight": np.ones(b, np.float32),
+    }
+
+    def gen():
+        while True:
+            yield batch
+
+    state = trainer.fit(gen())
+    lines = [json.loads(l) for l in open(os.path.join(tmp_path, "metrics.jsonl"))]
+    tr = [l for l in lines if l["prefix"] == "tr"]
+    assert tr and np.isfinite(tr[-1]["diff"]) and tr[-1]["nonfinite"] == 0
