@@ -46,7 +46,21 @@ def attention(
     v: jnp.ndarray,  # [B, Tk, H, D]
     mask: jnp.ndarray | None = None,  # broadcastable to [B, H, Tq, Tk], True=keep
     is_causal: bool = False,
+    kv_mask: jnp.ndarray | None = None,  # [B, Tk] 1=valid — enables flash path
+    use_flash: bool | None = None,
 ) -> jnp.ndarray:
+    """``use_flash=None`` auto-dispatches to the Pallas blockwise kernel on
+    TPU for long sequences when the mask (if any) is key-padding style."""
+    if use_flash is None:
+        use_flash = (jax.default_backend() == "tpu" and mask is None
+                     and q.shape[1] * k.shape[1] >= 256 * 256)
+    if use_flash and mask is None:
+        from audiogpt_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, kv_mask=kv_mask, causal=is_causal)
+    if kv_mask is not None:
+        km = kv_mask[:, None, None, :] > 0
+        mask = km if mask is None else (mask & km)
     scale = q.shape[-1] ** -0.5
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale
