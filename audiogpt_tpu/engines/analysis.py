@@ -1,0 +1,174 @@
+"""Audio-analysis engines: captioning (A2T), sound-event detection, and
+target-sound detection.
+
+Reference tool adapters: ``A2T`` (``audio-chatgpt.py:578``, AudioCapModel at
+``audio_to_text/inference_waveform.py:61``), ``SoundDetection`` (612, PVT at
+``audio_detection/audio_infer/pytorch/models.py:141``),
+``TargetSoundDetection`` (775, CDur at
+``target_sound_detection/src/models.py:836``, CLIP-text query matching).
+
+TPU shape discipline: audio is bucketed to a dyadic ladder of sample counts
+so each bucket compiles once (cf. engines/base.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audiogpt_tpu.engines.base import Bucketer, Engine
+from audiogpt_tpu.models.caption.captioner import (
+    CaptionConfig, CaptionModel, caption_greedy_decode,
+)
+from audiogpt_tpu.models.sed.panns_sed import (
+    SEDConfig, SEDModel, audioset_labels, detect_events,
+)
+from audiogpt_tpu.models.sed.tsd import (
+    TSDConfig, TSDModel, decode_timestamps, median_filter,
+)
+from audiogpt_tpu.models.textenc import CLAPTextConfig, CLAPTextEncoder
+from audiogpt_tpu.models.textenc.clap import WordPieceTokenizer
+from audiogpt_tpu.dsp.mel import MelSpec, PANNS_MEL_32K, log_mel
+
+
+class CaptionEngine(Engine):
+    """wav (32 kHz) → caption string. ``vocab``: id → word list."""
+
+    name = "caption"
+
+    def __init__(self, cfg: CaptionConfig | None = None, params=None,
+                 vocab: list[str] | None = None, rng_seed: int = 0,
+                 max_sec: float = 32.0):
+        super().__init__()
+        self.cfg = cfg or CaptionConfig()
+        self.model = CaptionModel(self.cfg)
+        self.vocab = vocab
+        sr = self.cfg.cnn14.mel.sr if hasattr(self.cfg.cnn14, "mel") else 32000
+        self.sr = sr
+        self.bucketer = Bucketer(Bucketer.ladder(sr * 2, int(sr * max_sec)))
+        if params is None:
+            params = self.model.init(
+                jax.random.PRNGKey(rng_seed), jnp.zeros((1, sr)),
+                jnp.zeros((1, 4), jnp.int32), jnp.asarray([sr]))
+        self.params = params
+
+    def caption_tokens(self, wav: np.ndarray) -> np.ndarray:
+        wav = np.asarray(wav, np.float32)
+        padded, n = self.bucketer.pad_to_bucket(wav[None], axis=-1)
+        return caption_greedy_decode(
+            self.model, self.params, jnp.asarray(padded),
+            jnp.asarray([n]))[0]
+
+    def caption(self, wav: np.ndarray) -> str:
+        toks = self.caption_tokens(wav)
+        words = []
+        for t in toks[1:]:
+            if t == self.cfg.eos_id:
+                break
+            if self.vocab and t < len(self.vocab):
+                words.append(self.vocab[t])
+            else:
+                words.append(f"<{t}>")
+        return " ".join(words)
+
+
+class SEDEngine(Engine):
+    """wav (32 kHz) → AudioSet framewise events (+ top-k event summary)."""
+
+    name = "sed"
+
+    def __init__(self, cfg: SEDConfig | None = None, params=None,
+                 rng_seed: int = 0, max_sec: float = 32.0):
+        super().__init__()
+        self.cfg = cfg or SEDConfig()
+        self.model = SEDModel(self.cfg)
+        sr = self.cfg.sample_rate
+        self.bucketer = Bucketer(Bucketer.ladder(sr * 2, int(sr * max_sec)))
+        if params is None:
+            params = self.model.init(jax.random.PRNGKey(rng_seed),
+                                     jnp.zeros((1, sr)), jnp.asarray([sr]))
+        self.params = params
+
+    @functools.cached_property
+    def _fn(self):
+        return jax.jit(lambda p, w, n: self.model.apply(p, w, n))
+
+    def framewise(self, wav: np.ndarray) -> np.ndarray:
+        wav = np.asarray(wav, np.float32)
+        padded, n = self.bucketer.pad_to_bucket(wav[None], axis=-1)
+        out = self._fn(self.params, jnp.asarray(padded), jnp.asarray([n]))
+        frames = int(np.ceil(n / self.cfg.hop))
+        return np.asarray(out["framewise_output"])[0, :frames]
+
+    def detect(self, wav: np.ndarray, top_k: int = 10):
+        fw = self.framewise(wav)
+        fps = self.cfg.sample_rate / self.cfg.hop
+        return detect_events(fw, audioset_labels(), top_k=top_k,
+                             frames_per_second=fps)
+
+
+class TSDEngine(Engine):
+    """(wav, text query) → on/offset timestamps of the described sound.
+
+    The reference matches the query against precomputed CLIP text embeddings
+    (``audio-chatgpt.py:833-875``); here the query embeds through the CLAP
+    text tower directly — no embedding file needed.
+    """
+
+    name = "tsd"
+
+    def __init__(self, cfg: TSDConfig | None = None,
+                 clap_cfg: CLAPTextConfig | None = None,
+                 params=None, clap_params=None, tokenizer=None,
+                 rng_seed: int = 0, sample_rate: int = 22050,
+                 mel: MelSpec | None = None, max_sec: float = 30.0):
+        super().__init__()
+        self.cfg = cfg or TSDConfig()
+        self.clap_cfg = clap_cfg or CLAPTextConfig()
+        self.model = TSDModel(self.cfg)
+        self.clap = CLAPTextEncoder(self.clap_cfg)
+        self.tokenizer = tokenizer or WordPieceTokenizer(
+            vocab_size=self.clap_cfg.bert.vocab_size)
+        self.mel = mel or MelSpec(sample_rate, 1024, 256, 1024,
+                                  self.cfg.mel_bins, 50.0, sample_rate / 2,
+                                  power=1.0, log="log10")
+        frames_cap = int(max_sec * sample_rate / self.mel.hop)
+        self.bucketer = Bucketer(Bucketer.ladder(256, frames_cap))
+        k1, k2 = jax.random.split(jax.random.PRNGKey(rng_seed))
+        if params is None:
+            params = self.model.init(
+                k1, jnp.zeros((1, 256, self.cfg.mel_bins)),
+                jnp.zeros((1, self.cfg.embedding_dim)))
+        if clap_params is None:
+            clap_params = self.clap.init(k2, jnp.zeros((1, 4), jnp.int32))
+        self.params = params
+        self.clap_params = clap_params
+
+    @functools.cached_property
+    def _fn(self):
+        return jax.jit(lambda p, mel, emb: self.model.apply(p, mel, emb))
+
+    def embed_text(self, text: str) -> jnp.ndarray:
+        ids, mask = self.tokenizer.encode(text, self.clap_cfg.max_length)
+        emb = self.clap.apply(self.clap_params, jnp.asarray(ids)[None],
+                              jnp.asarray(mask)[None],
+                              method=CLAPTextEncoder.cls_embedding)
+        # truncate to the TSD conditioning width
+        if emb.shape[-1] != self.cfg.embedding_dim:
+            emb = emb[..., : self.cfg.embedding_dim]
+        return emb
+
+    def detect(self, wav: np.ndarray, text: str,
+               threshold: float = 0.5, window: int = 7):
+        wav = np.asarray(wav, np.float32)
+        m = np.asarray(log_mel(jnp.asarray(wav), self.mel))  # [T, M]
+        padded, frames = self.bucketer.pad_to_bucket(m[None], axis=1)
+        emb = self.embed_text(text)
+        _, up = self._fn(self.params, jnp.asarray(padded), emb)
+        probs = np.asarray(up)[0, :frames, 0]
+        filtered = median_filter(probs[:, None], window, threshold)[:, 0]
+        fps = self.mel.sr / self.mel.hop
+        return decode_timestamps(filtered, fps)

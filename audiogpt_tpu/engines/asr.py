@@ -73,3 +73,17 @@ class ASREngine(Engine):
             max_tokens=self.max_tokens, eot_id=eot,
         )
         return np.asarray(toks)
+
+    def transcribe(self, wav: np.ndarray, task: str = "translate",
+                   language: int = 0) -> str:
+        """→ text. Uses ``self.text_decoder`` (a ``tokens -> str`` callable,
+        e.g. a loaded whisper BPE decoder) when set; otherwise returns the
+        raw token-id string so the pipeline stays drivable without vocab
+        files."""
+        toks = self.transcribe_tokens(wav, task, language)[0]
+        dec = getattr(self, "text_decoder", None)
+        prompt_len = len(self.sot_sequence(task, language))
+        body = [int(t) for t in toks[prompt_len:] if int(t) < EOT]
+        if dec is not None:
+            return dec(body)
+        return " ".join(str(t) for t in body)

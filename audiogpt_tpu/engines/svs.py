@@ -93,6 +93,13 @@ class SVSEngine(Engine):
                 p, t, pitch_midi=midi, midi_dur=dur, is_slur=slur, rng=rng,
                 pndm_speedup=self.pndm_speedup))
 
+    @property
+    def sample_rate(self) -> int:
+        """Output rate comes from the vocoder (opencpop ds1000: 24 kHz)."""
+        if self.vocoder is not None:
+            return self.vocoder.cfg.sample_rate
+        return 24000
+
     # -- score parsing ------------------------------------------------------
     def parse_word_level(self, text: str, notes: str, notes_duration: str):
         words = [w for w in re.split(r"[\s]+", text.strip()) if w]

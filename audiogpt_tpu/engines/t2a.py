@@ -68,8 +68,11 @@ class T2AEngine(Engine):
     def __init__(self, cfg: T2AConfig | None = None, params: dict | None = None,
                  vocoder: VocoderEngine | None = None,
                  tokenizer: WordPieceTokenizer | None = None,
-                 rng_seed: int = 0):
+                 scorer=None, rng_seed: int = 0):
         super().__init__()
+        #: optional CLAPScorer for best-of-n re-ranking (constructed once —
+        #: fixes the per-call reload at audio-chatgpt.py:187)
+        self.scorer = scorer
         self.cfg = cfg or T2AConfig()
         self.unet = UNetModel(self.cfg.unet)
         self.vae = AutoencoderKL(self.cfg.vae)
@@ -172,6 +175,13 @@ class T2AEngine(Engine):
             return mels
         wavs = self.vocoder(mels)
         return mels, wavs
+
+    def select_best(self, text: str, wavs) -> int:
+        """Best-of-n CLAP re-ranking (``select_best_audio``,
+        audio-chatgpt.py:185-199); index 0 when no scorer is attached."""
+        if self.scorer is None:
+            return 0
+        return self.scorer.select_best(text, wavs)
 
     def inpaint(self, wav: np.ndarray, mask_time: np.ndarray,
                 text: str = "", ddim_steps: int = 100,

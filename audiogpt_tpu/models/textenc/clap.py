@@ -118,3 +118,71 @@ class WordPieceTokenizer:
         pad = max_length - len(toks)
         return (np.asarray(toks + [0] * pad, np.int32),
                 np.asarray(mask + [0] * pad, np.int32))
+
+
+# ---------------------------------------------------------------------------
+# CLAP audio tower + retrieval scorer (best-of-n re-ranking)
+# ---------------------------------------------------------------------------
+
+
+class CLAPAudioEncoder(nn.Module):
+    """PANN(Cnn14)-tower CLAP audio branch (``open_clap/pann_model.py`` —
+    the reference ships both HTSAT and PANN towers; the PANN one reuses our
+    shared Cnn14 backbone) → projected ``[B, d_proj]`` embedding."""
+
+    d_proj: int = 1024
+
+    @nn.compact
+    def __call__(self, wav, wav_len=None):
+        from audiogpt_tpu.models.caption.cnn14 import Cnn14Config, Cnn14Encoder
+
+        enc = Cnn14Encoder(Cnn14Config(), name="backbone")(wav, wav_len)
+        return Projection(self.d_proj, name="projection")(enc["fc_emb"])
+
+
+class CLAPScorer:
+    """text ↔ audio cosine similarity — the reference's ``CLAPWrapper``
+    (``wav_evaluation/models/CLAPWrapper.py:208``), constructed ONCE instead
+    of per call (``audio-chatgpt.py:187`` reloads it every request)."""
+
+    def __init__(self, text_cfg: CLAPTextConfig | None = None,
+                 text_params=None, audio_params=None, tokenizer=None,
+                 sample_rate: int = 32000, rng_seed: int = 0):
+        self.cfg = text_cfg or CLAPTextConfig()
+        self.text = CLAPTextEncoder(self.cfg)
+        self.audio = CLAPAudioEncoder(self.cfg.d_proj)
+        self.tokenizer = tokenizer or WordPieceTokenizer(
+            vocab_size=self.cfg.bert.vocab_size)
+        self.sample_rate = sample_rate
+        k1, k2 = jax.random.split(jax.random.PRNGKey(rng_seed))
+        if text_params is None:
+            text_params = self.text.init(k1, jnp.zeros((1, 4), jnp.int32))
+        if audio_params is None:
+            audio_params = self.audio.init(k2, jnp.zeros((1, sample_rate)))
+        self.text_params = text_params
+        self.audio_params = audio_params
+        self._score = jax.jit(self._score_impl)
+
+    def _score_impl(self, tp, ap, ids, mask, wavs, wav_len):
+        t = self.text.apply(tp, ids, mask, method=CLAPTextEncoder.cls_embedding)
+        a = self.audio.apply(ap, wavs, wav_len)
+        t = t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+        a = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
+        return (a @ t.T)[:, 0]  # [n_audio]
+
+    def score(self, text: str, wavs) -> np.ndarray:
+        """→ similarity per candidate waveform (same sample rate)."""
+        import numpy as _np
+
+        wavs = _np.asarray(wavs, _np.float32)
+        if wavs.ndim == 1:
+            wavs = wavs[None]
+        ids, mask = self.tokenizer.encode(text, self.cfg.max_length)
+        n = wavs.shape[1]
+        return _np.asarray(self._score(
+            self.text_params, self.audio_params,
+            jnp.asarray(ids)[None], jnp.asarray(mask)[None],
+            jnp.asarray(wavs), jnp.full((wavs.shape[0],), n, jnp.int32)))
+
+    def select_best(self, text: str, wavs) -> int:
+        return int(self.score(text, wavs).argmax())
