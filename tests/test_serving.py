@@ -1,0 +1,140 @@
+"""Serving layer tests: run the HTTP server in-thread, exercise every
+endpoint with a scripted LLM + a tiny real engine."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from audiogpt_tpu.agent.llm import ScriptedLLM
+from audiogpt_tpu.serving import AppServer, make_server
+from audiogpt_tpu.utils.audio_io import save_wav
+
+
+def _req(port, path, data=None, headers=None, method=None):
+    url = f"http://127.0.0.1:{port}{path}"
+    req = urllib.request.Request(url, data=data, headers=headers or {},
+                                 method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, r.read(), dict(r.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, e.read(), dict(e.headers)
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from audiogpt_tpu.engines.transform import SeparationEngine
+    from audiogpt_tpu.models.separation.convtasnet import ConvTasNetConfig
+
+    root = str(tmp_path_factory.mktemp("media"))
+    engines = {
+        "enhance": SeparationEngine(ConvTasNetConfig(
+            n_src=1, enc_dim=32, bottleneck=8, hidden=16, skip=8,
+            n_blocks=2, n_repeats=1)),
+    }
+    src = f"{root}/noisy.wav"
+    sr = 16000
+    t = np.arange(sr) / sr
+    save_wav((0.2 * np.sin(2 * np.pi * 440 * t)).astype(np.float32), src, sr)
+
+    llm = ScriptedLLM([
+        "Thought: Do I need to use a tool? Yes\n"
+        f"Action: Speech Enhancement In Single-Channel\nAction Input: {src}",
+        "Thought: Do I need to use a tool? No\nAI: Enhanced audio ready.",
+        # second conversation turn: direct answer
+        "Thought: Do I need to use a tool? No\nAI: You are welcome!",
+    ])
+    app = AppServer(llm, engines, media_root=root)
+    httpd = make_server(app, port=0)
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield port, app, src
+    httpd.shutdown()
+
+
+def test_health_and_ui(server):
+    port, app, _ = server
+    code, body, _ = _req(port, "/health")
+    assert code == 200
+    data = json.loads(body)
+    assert data["status"] == "ok" and data["mode"] == "text"
+    assert "Speech Enhancement In Single-Channel" in data["tools"]
+
+    code, body, headers = _req(port, "/")
+    assert code == 200 and b"AudioGPT-TPU" in body
+    assert "text/html" in headers["Content-Type"]
+
+
+def test_chat_tool_turn_and_media(server):
+    port, app, src = server
+    code, body, _ = _req(
+        port, "/chat", json.dumps({"text": "enhance " + src}).encode(),
+        {"Content-Type": "application/json"})
+    assert code == 200
+    data = json.loads(body)
+    assert data["response"] == "Enhanced audio ready."
+    assert data["steps"][0]["tool"] == "Speech Enhancement In Single-Channel"
+    assert data["media"] and data["media"][0]["kind"] == "audio"
+
+    # the media URL must actually serve the wav
+    code, wav, headers = _req(port, data["media"][0]["url"])
+    assert code == 200 and headers["Content-Type"] == "audio/wav"
+    assert len(wav) > 1000
+
+    # second turn: direct answer, no media
+    code, body, _ = _req(
+        port, "/chat", json.dumps({"text": "thanks"}).encode(),
+        {"Content-Type": "application/json"})
+    data = json.loads(body)
+    assert data["response"] == "You are welcome!" and not data["media"]
+
+
+def test_chat_missing_text(server):
+    port, _, _ = server
+    code, body, _ = _req(port, "/chat", b"{}",
+                         {"Content-Type": "application/json"})
+    assert code == 400
+
+
+def test_media_traversal_guard(server):
+    port, _, _ = server
+    code, _, _ = _req(port, "/media/../../../etc/passwd")
+    assert code == 404
+
+
+def test_upload_and_clear(server):
+    port, app, _ = server
+    sr = 16000
+    import io
+    from scipy.io import wavfile
+
+    buf = io.BytesIO()
+    wavfile.write(buf, sr, np.zeros(sr, np.int16))
+    code, body, _ = _req(port, "/upload", buf.getvalue(),
+                         {"X-Filename": "clip.wav"})
+    assert code == 200
+    data = json.loads(body)
+    assert data["kind"] == "audio"
+    assert "provide a new audio file" in app.agent.history
+
+    code, _, _ = _req(port, "/clear", b"", method="POST")
+    assert code == 200 and app.agent.history == ""
+
+
+def test_mode_switch(server):
+    port, app, _ = server
+    code, body, _ = _req(port, "/mode", json.dumps({"mode": "speech"}).encode(),
+                         {"Content-Type": "application/json"})
+    assert code == 200 and json.loads(body)["mode"] == "speech"
+    # enhancement is a text-mode-only tool (audio-chatgpt.py:1153+)
+    assert "Speech Enhancement In Single-Channel" not in app.tools.names()
+    _req(port, "/mode", json.dumps({"mode": "text"}).encode(),
+         {"Content-Type": "application/json"})
+
+    code, body, _ = _req(port, "/mode", json.dumps({"mode": "bogus"}).encode(),
+                         {"Content-Type": "application/json"})
+    assert code == 500 and b"ValueError" in body
