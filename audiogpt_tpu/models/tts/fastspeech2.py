@@ -58,6 +58,8 @@ class FastSpeech2Config:
     use_pitch_embed: bool = True
     use_energy_embed: bool = False
     use_uv: bool = True
+    pitch_type: str = "frame"      # 'frame' | 'cwt' (fs2.py:191)
+    cwt_std_scale: float = 0.8     # hparams['cwt_std_scale']
     pitch_norm: str = "standard"   # 'standard' | 'log'
     f0_mean: float = 200.0
     f0_std: float = 60.0
@@ -282,10 +284,18 @@ class FastSpeech2(nn.Module):
                                            name="dur_predictor")
         if cfg.use_pitch_embed:
             self.pitch_embed = nn.Embed(300, d, name="pitch_embed")
-            self.pitch_predictor = ConvPredictor(
-                cfg.pred_hidden, cfg.predictor_layers, cfg.predictor_kernel,
-                2 if cfg.use_uv else 1, with_pos=True, pos_dim=d,
-                name="pitch_predictor")
+            if cfg.pitch_type == "cwt":
+                # 10 CWT scales + uv logit (fs2.py:191-203)
+                self.cwt_predictor = ConvPredictor(
+                    cfg.pred_hidden, cfg.predictor_layers,
+                    cfg.predictor_kernel, 11, with_pos=True, pos_dim=d,
+                    name="cwt_predictor")
+                self.cwt_stats = nn.Dense(2, name="cwt_stats")
+            else:
+                self.pitch_predictor = ConvPredictor(
+                    cfg.pred_hidden, cfg.predictor_layers, cfg.predictor_kernel,
+                    2 if cfg.use_uv else 1, with_pos=True, pos_dim=d,
+                    name="pitch_predictor")
         if cfg.use_energy_embed:
             self.energy_embed = nn.Embed(256, d, name="energy_embed")
             self.energy_predictor = ConvPredictor(
@@ -358,19 +368,37 @@ class FastSpeech2(nn.Module):
         decoder_inp = self.expand_states(encoder_out, mel2ph)
         tgt_nonpad = (mel2ph > 0).astype(jnp.float32)
 
-        # --- pitch (frame-level, fs2.py:174-221 'frame' branch)
+        # --- pitch (fs2.py:174-221; 'frame' and 'cwt' branches)
         if cfg.use_pitch_embed:
             pitch_inp = (decoder_inp + spk) * tgt_nonpad[..., None]
-            pitch_pred = self.pitch_predictor(
-                pitch_inp,
-                nonpad=tgt_nonpad if cfg.predictor_mask_pad else None,
-                pos_nonpad=tgt_nonpad,
-            )
-            ret["pitch_pred"] = pitch_pred
-            if f0 is None:
-                f0 = pitch_pred[..., 0]
-            if cfg.use_uv and uv is None:
-                uv = (pitch_pred[..., 1] > 0).astype(jnp.float32)
+            if cfg.pitch_type == "cwt":
+                cwt_out = self.cwt_predictor(
+                    pitch_inp,
+                    nonpad=tgt_nonpad if cfg.predictor_mask_pad else None,
+                    pos_nonpad=tgt_nonpad)
+                ret["cwt"] = cwt_out
+                stats = self.cwt_stats(encoder_out[:, 0])  # [B, 2] (fs2.py:194)
+                mean, std = stats[:, 0], stats[:, 1]
+                std = std * cfg.cwt_std_scale
+                ret["f0_mean"], ret["f0_std"] = mean, std
+                if f0 is None:
+                    from audiogpt_tpu.dsp.f0 import cwt2f0
+
+                    f0_hz = cwt2f0(cwt_out[..., :10], mean, std)
+                    f0 = norm_f0(f0_hz, None, cfg)
+                if cfg.use_uv and uv is None:
+                    uv = (cwt_out[..., -1] > 0).astype(jnp.float32)
+            else:
+                pitch_pred = self.pitch_predictor(
+                    pitch_inp,
+                    nonpad=tgt_nonpad if cfg.predictor_mask_pad else None,
+                    pos_nonpad=tgt_nonpad,
+                )
+                ret["pitch_pred"] = pitch_pred
+                if f0 is None:
+                    f0 = pitch_pred[..., 0]
+                if cfg.use_uv and uv is None:
+                    uv = (pitch_pred[..., 1] > 0).astype(jnp.float32)
             f0_denorm = denorm_f0(f0, uv, cfg, pitch_padding=mel2ph == 0)
             ret["f0_denorm"] = f0_denorm
             pitch = f0_to_coarse(f0_denorm)

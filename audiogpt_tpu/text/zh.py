@@ -1,0 +1,234 @@
+"""Chinese text frontend: normalization + pinyin → phoneme processing.
+
+Reference components covered:
+  * ``NeuralSeq/utils/text_norm.py`` (790 LoC ``NSWNormalizer``): non-standard
+    word normalization for zh — cardinal/decimal numbers, percents, years,
+    digit strings — rewritten compactly here (same observable rewrites for the
+    covered classes);
+  * ``NeuralSeq/data_gen/tts/txt_processors/zh.py``: hanzi → pinyin (via the
+    external pypinyin dict in the reference) → initial/final phonemes with
+    tone digits, ``|`` word separators.
+
+pypinyin is not in this image; hanzi→pinyin uses a built-in lexicon of common
+characters plus an optional user-supplied TSV (``char<TAB>pinyin␠tone``) for
+full coverage — pre-romanized (pinyin) input bypasses the lexicon entirely,
+which is also how the SVS score path feeds text (``base_svs_infer.py:72``).
+"""
+
+from __future__ import annotations
+
+import re
+
+INITIALS = ["zh", "ch", "sh", "b", "p", "m", "f", "d", "t", "n", "l", "g",
+            "k", "h", "j", "q", "x", "r", "z", "c", "s", "y", "w"]
+
+_DIGITS = "零一二三四五六七八九"
+_UNITS = ["", "十", "百", "千"]
+_BIG_UNITS = ["", "万", "亿", "万亿"]
+
+# Built-in mini-lexicon: common chars (incl. the default-song lyrics).
+_BUILTIN_LEXICON = {
+    "你": "ni3", "我": "wo3", "他": "ta1", "她": "ta1", "们": "men2",
+    "的": "de5", "了": "le5", "是": "shi4", "在": "zai4", "有": "you3",
+    "不": "bu4", "人": "ren2", "这": "zhe4", "中": "zhong1", "大": "da4",
+    "来": "lai2", "上": "shang4", "国": "guo2", "个": "ge4", "到": "dao4",
+    "说": "shuo1", "们": "men2", "为": "wei4", "子": "zi3", "和": "he2",
+    "你": "ni3", "地": "di4", "出": "chu1", "道": "dao4", "也": "ye3",
+    "时": "shi2", "年": "nian2", "得": "de2", "就": "jiu4", "那": "na4",
+    "要": "yao4", "下": "xia4", "以": "yi3", "生": "sheng1", "会": "hui4",
+    "自": "zi4", "着": "zhe5", "去": "qu4", "之": "zhi1", "过": "guo4",
+    "家": "jia1", "学": "xue2", "对": "dui4", "可": "ke3", "她": "ta1",
+    "里": "li3", "后": "hou4", "小": "xiao3", "么": "me5", "心": "xin1",
+    "多": "duo1", "天": "tian1", "而": "er2", "能": "neng2", "好": "hao3",
+    "都": "dou1", "然": "ran2", "没": "mei2", "日": "ri4", "于": "yu2",
+    "起": "qi3", "还": "hai2", "发": "fa1", "成": "cheng2", "事": "shi4",
+    "只": "zhi3", "作": "zuo4", "当": "dang1", "想": "xiang3", "看": "kan4",
+    "文": "wen2", "无": "wu2", "开": "kai1", "手": "shou3", "十": "shi2",
+    "用": "yong4", "主": "zhu3", "行": "xing2", "方": "fang1", "又": "you4",
+    "如": "ru2", "前": "qian2", "所": "suo3", "本": "ben3", "见": "jian4",
+    "经": "jing1", "头": "tou2", "面": "mian4", "公": "gong1", "同": "tong2",
+    "三": "san1", "已": "yi3", "老": "lao3", "从": "cong2", "动": "dong4",
+    "两": "liang3", "长": "chang2", "知": "zhi1", "民": "min2", "样": "yang4",
+    "现": "xian4", "分": "fen1", "将": "jiang1", "外": "wai4", "但": "dan4",
+    "身": "shen1", "些": "xie1", "与": "yu3", "高": "gao1", "意": "yi4",
+    "进": "jin4", "把": "ba3", "法": "fa3", "此": "ci3", "实": "shi2",
+    "回": "hui2", "二": "er4", "理": "li3", "美": "mei3", "点": "dian3",
+    "月": "yue4", "明": "ming2", "其": "qi2", "种": "zhong3", "声": "sheng1",
+    "全": "quan2", "工": "gong1", "己": "ji3", "话": "hua4", "儿": "er2",
+    "者": "zhe3", "向": "xiang4", "情": "qing2", "部": "bu4", "正": "zheng4",
+    "名": "ming2", "定": "ding4", "女": "nv3", "问": "wen4", "力": "li4",
+    "机": "ji1", "给": "gei3", "等": "deng3", "几": "ji3", "很": "hen3",
+    "业": "ye4", "最": "zui4", "间": "jian1", "新": "xin1", "什": "shen2",
+    "打": "da3", "便": "bian4", "位": "wei4", "因": "yin1", "重": "zhong4",
+    "被": "bei4", "走": "zou3", "电": "dian4", "四": "si4", "第": "di4",
+    "门": "men2", "相": "xiang1", "次": "ci4", "东": "dong1", "政": "zheng4",
+    "海": "hai3", "口": "kou3", "使": "shi3", "教": "jiao4", "西": "xi1",
+    "再": "zai4", "平": "ping2", "真": "zhen1", "听": "ting1", "世": "shi4",
+    "气": "qi4", "信": "xin4", "北": "bei3", "少": "shao3", "关": "guan1",
+    "并": "bing4", "内": "nei4", "加": "jia1", "化": "hua4", "由": "you2",
+    "却": "que4", "代": "dai4", "军": "jun1", "产": "chan3", "入": "ru4",
+    "先": "xian1", "山": "shan1", "五": "wu3", "太": "tai4", "水": "shui3",
+    "万": "wan4", "市": "shi4", "眼": "yan3", "体": "ti3", "别": "bie2",
+    "处": "chu4", "总": "zong3", "才": "cai2", "场": "chang3", "师": "shi1",
+    "书": "shu1", "比": "bi3", "住": "zhu4", "员": "yuan2", "九": "jiu3",
+    "笑": "xiao4", "性": "xing4", "通": "tong1", "目": "mu4", "华": "hua2",
+    "报": "bao4", "立": "li4", "马": "ma3", "命": "ming4", "张": "zhang1",
+    "活": "huo2", "难": "nan2", "神": "shen2", "数": "shu4", "件": "jian4",
+    "安": "an1", "表": "biao3", "原": "yuan2", "车": "che1", "白": "bai2",
+    "应": "ying1", "路": "lu4", "期": "qi1", "叫": "jiao4", "死": "si3",
+    "常": "chang2", "提": "ti2", "感": "gan3", "金": "jin1", "何": "he2",
+    "更": "geng4", "反": "fan3", "题": "ti2", "必": "bi4", "都": "dou1",
+    "风": "feng1", "族": "zu2", "唱": "chang4", "歌": "ge1", "音": "yin1",
+    "乐": "yue4", "爱": "ai4", "梦": "meng4", "花": "hua1", "雨": "yu3",
+    "云": "yun2", "夜": "ye4", "星": "xing1", "光": "guang1", "春": "chun1",
+    "秋": "qiu1", "冬": "dong1", "夏": "xia4", "红": "hong2", "青": "qing1",
+    "字": "zi4", "六": "liu4", "七": "qi1", "八": "ba1", "百": "bai3",
+    "千": "qian1", "亿": "yi4", "零": "ling2", "懂": "dong3", "牵": "qian1",
+    "候": "hou4", "空": "kong1", "远": "yuan3", "近": "jin4", "深": "shen1",
+}
+
+
+# ---------------------------------------------------------------------------
+# Number normalization (text_norm.py NSWNormalizer semantics, compact)
+# ---------------------------------------------------------------------------
+
+
+def num_to_hanzi(n: int) -> str:
+    """Cardinal integer → hanzi reading (e.g. 205 → 二百零五, 10 → 十)."""
+    if n == 0:
+        return _DIGITS[0]
+    if n < 0:
+        return "负" + num_to_hanzi(-n)
+    groups = []
+    while n > 0:
+        groups.append(n % 10000)
+        n //= 10000
+    parts = []
+    for gi in range(len(groups) - 1, -1, -1):
+        g = groups[gi]
+        if g == 0:
+            continue
+        s = ""
+        zero_pending = False
+        for ui in range(3, -1, -1):
+            d = (g // 10 ** ui) % 10
+            if d == 0:
+                if s:
+                    zero_pending = True
+                continue
+            if zero_pending:
+                s += _DIGITS[0]
+                zero_pending = False
+            s += _DIGITS[d] + _UNITS[ui]
+        # 一十X → 十X for the leading tens of the most significant group
+        if gi == len(groups) - 1 and s.startswith("一十"):
+            s = s[1:]
+        parts.append(s + _BIG_UNITS[gi])
+        # inter-group zero (e.g. 100000001)
+        if gi > 0 and groups[gi - 1] != 0 and groups[gi - 1] < 1000:
+            parts.append(_DIGITS[0])
+    return "".join(parts).rstrip(_DIGITS[0]) or _DIGITS[0]
+
+
+def digits_to_hanzi(s: str) -> str:
+    """Digit-by-digit reading (phone numbers, years): 2024 → 二零二四."""
+    return "".join(_DIGITS[int(c)] if c.isdigit() else c for c in s)
+
+
+def normalize_zh(text: str) -> str:
+    """Rewrite numbers/percents/decimals into hanzi (NSWNormalizer scope)."""
+    def _percent(m):
+        return "百分之" + num_to_hanzi(int(m.group(1)))
+
+    def _decimal(m):
+        return num_to_hanzi(int(m.group(1))) + "点" + digits_to_hanzi(m.group(2))
+
+    def _year(m):
+        return digits_to_hanzi(m.group(1)) + "年"
+
+    def _int(m):
+        return num_to_hanzi(int(m.group(0)))
+
+    # (?<![a-zA-Z]) keeps tone digits glued to pinyin ('ni3') intact
+    text = re.sub(r"(?<![a-zA-Z])(\d+)%", _percent, text)
+    text = re.sub(r"(?<![a-zA-Z])(\d+)\.(\d+)", _decimal, text)
+    text = re.sub(r"(?<![a-zA-Z])(\d{4})年", _year, text)
+    text = re.sub(r"(?<![a-zA-Z])\d+", _int, text)
+    return text
+
+
+# ---------------------------------------------------------------------------
+# Pinyin utilities + frontend
+# ---------------------------------------------------------------------------
+
+
+def split_pinyin(syllable: str) -> list[str]:
+    """'xiao3' → ['x', 'iao3']; 'ai4' → ['ai4'] (zero-initial)."""
+    s = syllable.lower().strip()
+    for ini in INITIALS:
+        if s.startswith(ini) and len(s) > len(ini) and \
+                not s[len(ini)].isdigit():
+            return [ini, s[len(ini):]]
+    return [s]
+
+
+class PinyinLexicon:
+    def __init__(self, path: str | None = None):
+        self.table = dict(_BUILTIN_LEXICON)
+        if path:
+            with open(path, encoding="utf-8") as f:
+                for line in f:
+                    parts = line.rstrip("\n").split("\t")
+                    if len(parts) >= 2:
+                        self.table[parts[0]] = parts[1].replace(" ", "")
+
+    def __call__(self, char: str) -> str | None:
+        return self.table.get(char)
+
+
+class ZhFrontend:
+    """text (hanzi and/or pinyin syllables) → phones with ``|`` separators.
+
+    Matches the reference zh processor's output scheme: per character,
+    ``initial final+tone`` (tone 1-5 digit on the final), punctuation kept,
+    unknown hanzi dropped with a ``<UNK>``.
+    """
+
+    PUNCS = "!,.?;:、。！，？；："
+
+    def __init__(self, lexicon: PinyinLexicon | None = None):
+        self.lexicon = lexicon or PinyinLexicon()
+
+    def __call__(self, text: str) -> list[str]:
+        text = normalize_zh(text)
+        phones: list[str] = []
+        pending_sep = False
+
+        def sep():
+            nonlocal pending_sep
+            if phones and phones[-1] != "|":
+                phones.append("|")
+            pending_sep = False
+
+        # pre-split latin pinyin runs
+        for token in re.findall(r"[a-zA-Z]+\d?|.", text):
+            if re.fullmatch(r"[a-zA-Z]+\d?", token):
+                phones.extend(split_pinyin(token))
+                sep()
+            elif token in self.PUNCS:
+                phones.append(token if token in "!,.?;:" else
+                              {"、": ",", "。": ".", "！": "!", "，": ",",
+                               "？": "?", "；": ";", "：": ":"}[token])
+                sep()
+            elif token.strip() == "":
+                sep()
+            else:
+                py = self.lexicon(token)
+                if py is None:
+                    phones.append("<UNK>")
+                else:
+                    phones.extend(split_pinyin(py))
+                sep()
+        if phones and phones[-1] == "|":
+            phones.pop()
+        return phones

@@ -73,7 +73,32 @@ class FS2Task:
         metrics.update(L.dur_loss(
             out["dur"], batch["mel2ph"], batch["txt_tokens"], w,
             lambda_ph=cfg.lambda_ph_dur, lambda_sent=cfg.lambda_sent_dur))
-        if mcfg.use_pitch_embed and f0 is not None:
+        if mcfg.use_pitch_embed and mcfg.pitch_type == "cwt" \
+                and "cwt_spec" in batch:
+            # CWT-domain pitch losses (fs2 task add_pitch_loss 'cwt' branch)
+            import jax.numpy as jnp
+
+            nonpad = (batch["mel2ph"] > 0).astype(jnp.float32)
+            if w is not None:
+                nonpad = nonpad * w[:, None]
+            cwt_pred = out["cwt"][..., :10]
+            metrics["cwt"] = (jnp.abs(cwt_pred - batch["cwt_spec"])
+                              * nonpad[..., None]).sum() / \
+                jnp.maximum(nonpad.sum() * 10, 1.0) * cfg.lambda_f0
+            if mcfg.use_uv and uv is not None:
+                logits = out["cwt"][..., -1]
+                bce = jnp.maximum(logits, 0) - logits * uv + \
+                    jnp.log1p(jnp.exp(-jnp.abs(logits)))
+                metrics["uv"] = L.masked_mean(bce, nonpad) * cfg.lambda_uv
+            if "f0_mean" in batch:
+                rw = w if w is not None else jnp.ones_like(out["f0_mean"])
+                metrics["f0_mean"] = (jnp.abs(out["f0_mean"] -
+                                              batch["f0_mean"]) * rw).sum() / \
+                    jnp.maximum(rw.sum(), 1.0) * cfg.lambda_f0
+                metrics["f0_std"] = (jnp.abs(out["f0_std"] -
+                                             batch["f0_std"]) * rw).sum() / \
+                    jnp.maximum(rw.sum(), 1.0) * cfg.lambda_f0
+        elif mcfg.use_pitch_embed and f0 is not None:
             metrics.update(L.f0_loss(
                 out["pitch_pred"], f0n, uv, batch["mel2ph"], w,
                 lambda_f0=cfg.lambda_f0, lambda_uv=cfg.lambda_uv,

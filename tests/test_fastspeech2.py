@@ -221,3 +221,68 @@ class TestVarianceMath:
         ours = np.asarray(length_regulator(jnp.asarray(dur), 64))
         np.testing.assert_array_equal(ours[:, : ref.shape[1]], ref)
         assert (ours[:, ref.shape[1] :] == 0).all()
+
+
+class TestCWTPitch:
+    """CWT pitch mode (fs2.py:191-203): 10-scale cwt + uv head, stats layer,
+    cwt2f0 inference path."""
+
+    def _cfg(self):
+        from audiogpt_tpu.models.tts.fastspeech2 import FastSpeech2Config
+        return FastSpeech2Config(
+            vocab_size=30, hidden_size=16, enc_layers=1, dec_layers=1,
+            num_heads=2, enc_ffn_kernel_size=3, dec_ffn_kernel_size=3,
+            n_mels=20, dur_predictor_layers=1, predictor_layers=1,
+            predictor_hidden=8, max_frames=32, pitch_type="cwt")
+
+    def test_infer_and_train_paths(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from audiogpt_tpu.models.tts.fastspeech2 import FastSpeech2
+
+        cfg = self._cfg()
+        model = FastSpeech2(cfg)
+        tokens = jnp.asarray([[3, 5, 7, 9]], jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), tokens, infer=True)
+        out = model.apply(params, tokens, infer=True)
+        assert out["cwt"].shape[-1] == 11
+        assert out["f0_mean"].shape == (1,)
+        assert np.isfinite(np.asarray(out["f0_denorm"])).all()
+
+        # training path with gt f0 + cwt loss inputs
+        f = 8
+        mel2ph = jnp.asarray([[1, 1, 2, 2, 3, 3, 4, 4]], jnp.int32)
+        f0 = jnp.full((1, f), 0.5)
+        uv = jnp.zeros((1, f))
+        out = model.apply(params, tokens, mel2ph=mel2ph, f0=f0, uv=uv)
+        assert out["cwt"].shape == (1, f, 11)
+
+    def test_fs2task_cwt_losses(self):
+        import jax
+        import numpy as np
+        from audiogpt_tpu.train.optim import OptimConfig
+        from audiogpt_tpu.train.tasks import FS2Task, FS2TaskConfig
+
+        task = FS2Task(FS2TaskConfig(
+            model=self._cfg(), lambda_ssim=0.0,
+            optim=OptimConfig(schedule="constant", lr=1e-3)))
+        params = task.init_params(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        b, t, f = 2, 4, 8
+        batch = {
+            "txt_tokens": rng.integers(3, 30, (b, t)).astype(np.int32),
+            "mel2ph": np.repeat(np.arange(1, t + 1), f // t)[None].repeat(
+                b, 0).astype(np.int32),
+            "mels": rng.normal(size=(b, f, 20)).astype(np.float32),
+            "f0": rng.uniform(100, 300, (b, f)).astype(np.float32),
+            "uv": np.zeros((b, f), np.float32),
+            "cwt_spec": rng.normal(size=(b, f, 10)).astype(np.float32),
+            "f0_mean": rng.uniform(4, 6, b).astype(np.float32),
+            "f0_std": rng.uniform(0.1, 0.3, b).astype(np.float32),
+            "weight": np.ones(b, np.float32),
+        }
+        loss, metrics = task.loss_fns["model"](
+            params, batch, jax.random.PRNGKey(1))
+        for k in ("cwt", "uv", "f0_mean", "f0_std"):
+            assert k in metrics and np.isfinite(float(metrics[k])), k
