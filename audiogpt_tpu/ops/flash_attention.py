@@ -33,7 +33,7 @@ NEG_INF = -1e30
 
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
                   acc_ref, m_ref, l_ref, *, scale: float, causal: bool,
-                  block_q: int, block_k: int):
+                  block_q: int, block_k: int, tk_true: int):
     i = pl.program_id(1)
     j = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -52,7 +52,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
             preferred_element_type=jnp.float32) * scale  # [bq, bk]
 
         if mask_ref is not None:
-            s = jnp.where(mask_ref[0][None, :] > 0, s, NEG_INF)
+            s = jnp.where(mask_ref[0, 0][None, :] > 0, s, NEG_INF)
+        if tk_true % block_k:
+            # static pad-tail mask — compile-time knowledge, no mask input
+            k_pos1 = j * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1)
+            s = jnp.where(k_pos1 < tk_true, s, NEG_INF)
         if causal:
             q_pos = i * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0)
@@ -102,10 +107,12 @@ def _flash_forward(q, k, v, kv_mask, scale, causal, block_q, block_k,
     if pk:
         k = jnp.pad(k, ((0, 0), (0, pk), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, pk), (0, 0)))
-    if pk or kv_mask is not None:
-        if kv_mask is None:
-            kv_mask = jnp.ones((bh, tk), jnp.float32)
-        kv_mask = jnp.pad(kv_mask.astype(jnp.float32), ((0, 0), (0, pk)))
+    # pad tail is masked in-kernel from the static tk; only a RUNTIME
+    # key-padding mask travels as an input, shaped [BH, 1, Tk] so the TPU
+    # block (1, 1, block_k) matches the array's second-to-last dim exactly
+    if kv_mask is not None:
+        kv_mask = jnp.pad(kv_mask.astype(jnp.float32),
+                          ((0, 0), (0, pk)))[:, None, :]
 
     in_specs = [
         pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0),
@@ -117,7 +124,8 @@ def _flash_forward(q, k, v, kv_mask, scale, causal, block_q, block_k,
     ]
     operands = [q, k, v]
     if kv_mask is not None:
-        in_specs.append(pl.BlockSpec((1, block_k), lambda b, i, j: (b, j),
+        in_specs.append(pl.BlockSpec((1, 1, block_k),
+                                     lambda b, i, j: (b, 0, j),
                                      memory_space=pltpu.VMEM))
         operands.append(kv_mask)
 
@@ -125,12 +133,12 @@ def _flash_forward(q, k, v, kv_mask, scale, causal, block_q, block_k,
         def kernel(q_ref, k_ref, v_ref, m_ref, o_ref, acc, m, l):  # noqa: F811
             _flash_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, acc, m, l,
                           scale=scale, causal=causal,
-                          block_q=block_q, block_k=block_k)
+                          block_q=block_q, block_k=block_k, tk_true=tk)
     else:
         def kernel(q_ref, k_ref, v_ref, o_ref, acc, m, l):  # noqa: F811
             _flash_kernel(q_ref, k_ref, v_ref, None, o_ref, acc, m, l,
                           scale=scale, causal=causal,
-                          block_q=block_q, block_k=block_k)
+                          block_q=block_q, block_k=block_k, tk_true=tk)
 
     out = pl.pallas_call(
         kernel,
@@ -198,8 +206,8 @@ def flash_attention(
     v: jnp.ndarray,            # [B, Tk, H, D]
     kv_mask: jnp.ndarray | None = None,   # [B, Tk], 1 = valid
     causal: bool = False,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 512,
+    block_k: int = 512,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Drop-in for :func:`audiogpt_tpu.ops.attention.attention` (key-padding

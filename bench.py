@@ -17,6 +17,19 @@ import time
 import numpy as np
 
 
+def _host_sync(x):
+    """Force completion: pull one scalar to host. On the axon TPU tunnel,
+    ``jax.block_until_ready`` returns before execution finishes, so timing
+    loops MUST host-sync each iteration."""
+    import numpy as _np
+
+    while isinstance(x, (tuple, list)):
+        x = x[0]
+    if hasattr(x, "ndim") and x.ndim:
+        x = x[(0,) * x.ndim]  # device-side scalar pick — ONE float moves
+    return float(x)
+
+
 def bench_vocoder_rtf(frames: int = 1024, iters: int = 20, batch: int = 1):
     import jax
     from audiogpt_tpu.engines.vocoder import VocoderEngine
@@ -29,32 +42,110 @@ def bench_vocoder_rtf(frames: int = 1024, iters: int = 20, batch: int = 1):
     t0 = time.perf_counter()
     for _ in range(iters):
         out = eng(mel)
-    jax.block_until_ready(out)
+        _host_sync(out)  # axon: block_until_ready alone does NOT wait
     dt = (time.perf_counter() - t0) / iters
     audio_sec = batch * frames * eng.hop_size / eng.cfg.sample_rate
     return dt / audio_sec, audio_sec, dt
 
 
+def bench_flash_attention(t: int = 3000, heads: int = 8, dim: int = 64,
+                          batch: int = 16, iters: int = 10):
+    """Pallas flash kernel vs naive SDPA at whisper-encoder scale."""
+    import jax
+    import jax.numpy as jnp
+    from audiogpt_tpu.ops import attention, flash_attention
+
+    q, k, v = (jax.random.normal(jax.random.PRNGKey(i), (batch, t, heads, dim))
+               for i in range(3))
+    flash = jax.jit(lambda q, k, v: flash_attention(q, k, v))
+    naive = jax.jit(lambda q, k, v: attention(q, k, v, use_flash=False))
+    _host_sync(flash(q, k, v))  # compile + run to completion (axon: BUR lies)
+    _host_sync(naive(q, k, v))
+
+    def timeit(f):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            _host_sync(f(q, k, v))
+        return (time.perf_counter() - t0) / iters
+
+    return timeit(flash), timeit(naive)
+
+
+def bench_asr_encoder(iters: int = 5):
+    """Whisper-base encoder throughput: processed-audio-seconds per second."""
+    import jax
+    import jax.numpy as jnp
+    from audiogpt_tpu.models.asr.whisper import WhisperConfig, WhisperModel
+
+    cfg = WhisperConfig()
+    model = WhisperModel(cfg)
+    mel = jnp.zeros((1, 2 * cfg.n_audio_ctx, cfg.n_mels))
+    params = model.init(jax.random.PRNGKey(0), mel, jnp.zeros((1, 4), jnp.int32))
+    enc = jax.jit(lambda p, m: model.apply(p, m, method=WhisperModel.encode))
+    _host_sync(enc(params, mel))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _host_sync(enc(params, mel))
+    dt = (time.perf_counter() - t0) / iters
+    return 30.0 / dt  # RTFx: 30 s of audio per encoder pass
+
+
+def bench_diffusion_steps(iters: int = 3, steps: int = 25):
+    """T2A UNet sampler steps/sec at the production latent shape."""
+    import jax
+    from audiogpt_tpu.engines.t2a import T2AConfig, T2AEngine
+
+    eng = T2AEngine(T2AConfig())
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = eng.txt2audio("benchmark", n_samples=1, ddim_steps=steps,
+                            seed=i)
+    import jax as _j
+    dt = (time.perf_counter() - t0) / iters
+    return steps * 2 / dt  # CFG pair counts as 2 UNet evals per step
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--suite", default="headline")
+    ap.add_argument("--suite", default="headline",
+                    choices=["headline", "all", "flash", "asr", "diffusion"])
     ap.add_argument("--frames", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--batch", type=int, default=1)
     args = ap.parse_args()
 
-    rtf, audio_sec, dt = bench_vocoder_rtf(args.frames, args.iters, args.batch)
-    target = 0.05
-    print(
-        json.dumps(
-            {
-                "metric": "hifigan_vocoder_rtf",
-                "value": round(rtf, 6),
-                "unit": "wall_sec_per_audio_sec",
-                "vs_baseline": round(target / rtf, 3),
-            }
+    extra = []
+    if args.suite in ("all", "flash"):
+        tf, tn = bench_flash_attention()
+        extra.append({"metric": "flash_attention_speedup_vs_naive",
+                      "value": round(tn / tf, 3), "unit": "x",
+                      "vs_baseline": round(tn / tf, 3)})
+    if args.suite in ("all", "asr"):
+        rtfx = bench_asr_encoder()
+        extra.append({"metric": "whisper_encoder_rtfx",
+                      "value": round(rtfx, 2), "unit": "audio_sec_per_sec",
+                      "vs_baseline": round(rtfx / 100.0, 3)})
+    if args.suite in ("all", "diffusion"):
+        sps = bench_diffusion_steps()
+        extra.append({"metric": "t2a_unet_evals_per_sec",
+                      "value": round(sps, 2), "unit": "evals_per_sec",
+                      "vs_baseline": round(sps / 20.0, 3)})
+    for line in extra:
+        print(json.dumps(line))
+    if args.suite in ("headline", "all") or not extra:
+        rtf, audio_sec, dt = bench_vocoder_rtf(args.frames, args.iters,
+                                               args.batch)
+        target = 0.05
+        print(
+            json.dumps(
+                {
+                    "metric": "hifigan_vocoder_rtf",
+                    "value": round(rtf, 6),
+                    "unit": "wall_sec_per_audio_sec",
+                    "vs_baseline": round(target / rtf, 3),
+                }
+            )
         )
-    )
 
 
 if __name__ == "__main__":
