@@ -193,17 +193,16 @@ def build_toolset(engines: Mapping[str, Any], root: str = ".",
 
     if "sed" in e:
         def sed_fn(path: str) -> str:
-            sr = e["sed"].cfg.sample_rate
-            events = e["sed"].detect(_load(path, sr))
-            lines = [f"{ev['label']}: peak p={ev['peak']:.2f}"
-                     for ev in events[:5]]
-            return "; ".join(lines)
+            # reference returns an image artifact (audio-chatgpt.py:658-673)
+            wav = _load(path, e["sed"].cfg.sample_rate)
+            out = new_media_path("image", ext="png", root=root)
+            return e["sed"].plot(wav, out)
     add("sed", "Detect The Sound Event From The Audio",
         "useful for when you want to know what event in the audio and the "
         "sound event start or end time, this tool will generate an image of "
         "all predict events, receives audio_path as input. The input to "
         "this tool should be a string, representing the audio_path.",
-        sed_fn if "sed" in e else None, media_kind="text", modes=("text",))
+        sed_fn if "sed" in e else None, media_kind="image", modes=("text",))
 
     if "tsd" in e:
         def tsd_fn(inputs: str) -> str:

@@ -109,6 +109,47 @@ class SEDEngine(Engine):
         return detect_events(fw, audioset_labels(), top_k=top_k,
                              frames_per_second=fps)
 
+    def plot(self, wav: np.ndarray, out_path: str, top_k: int = 10) -> str:
+        """Two-panel figure: log spectrogram + top-k framewise event matrix —
+        the reference tool's output artifact (audio-chatgpt.py:655-673)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from audiogpt_tpu.dsp.stft import stft
+
+        wav = np.asarray(wav, np.float32)
+        fw = self.framewise(wav)                      # [T, C]
+        labels = audioset_labels()
+        order = np.argsort(fw.max(axis=0))[::-1][:top_k]
+        mat = fw[:, order]
+        spec = np.abs(np.asarray(stft(wav, 1024, self.cfg.hop))).T  # [F, T]
+        fps = self.cfg.sample_rate / self.cfg.hop
+
+        fig, axs = plt.subplots(2, 1, sharex=True, figsize=(10, 4))
+        axs[0].matshow(np.log(np.maximum(spec, 1e-8)), origin="lower",
+                       aspect="auto", cmap="jet")
+        axs[0].set_ylabel("Frequency bins")
+        axs[0].set_title("Log spectrogram")
+        axs[1].matshow(mat.T, origin="upper", aspect="auto", cmap="jet",
+                       vmin=0, vmax=1)
+        frames = spec.shape[-1]
+        axs[1].xaxis.set_ticks(np.arange(0, frames, int(fps)))
+        axs[1].xaxis.set_ticklabels(
+            np.arange(0, int(np.ceil(frames / fps))))
+        axs[1].yaxis.set_ticks(np.arange(top_k))
+        axs[1].yaxis.set_ticklabels(
+            [labels[i] if i < len(labels) else str(i) for i in order])
+        axs[1].yaxis.grid(color="k", linestyle="solid", linewidth=0.3,
+                          alpha=0.3)
+        axs[1].set_xlabel("Seconds")
+        axs[1].xaxis.set_ticks_position("bottom")
+        plt.tight_layout()
+        fig.savefig(out_path)
+        plt.close(fig)
+        return out_path
+
 
 class TSDEngine(Engine):
     """(wav, text query) → on/offset timestamps of the described sound.

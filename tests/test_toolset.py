@@ -132,3 +132,25 @@ class TestToolset:
         save_wav(_tone(22050), src, 22050)
         res = reg.get("Target Sound Detection")(f"{src}, a siren")
         assert isinstance(res, str) and res
+
+
+class TestSEDPlot:
+    def test_plot_artifact(self, tiny_engines, tmp_path):
+        out = str(tmp_path / "sed.png")
+        sr = 32000
+        t = np.arange(sr) / sr
+        wav = (0.2 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        path = tiny_engines["sed"].plot(wav, out)
+        assert path == out
+        import os
+        assert os.path.getsize(out) > 5000  # a real PNG, not an empty file
+
+    def test_sed_tool_returns_image(self, tiny_engines, tmp_path):
+        from audiogpt_tpu.agent.toolset import build_toolset
+        reg = build_toolset(tiny_engines, root=str(tmp_path), mode="text")
+        tool = reg.get("Detect The Sound Event From The Audio")
+        assert tool.media_kind == "image"
+        src = str(tmp_path / "s.wav")
+        save_wav(_tone(32000), src, 32000)
+        out = tool(src)
+        assert out.endswith(".png")
