@@ -44,6 +44,16 @@ class VocoderEngine(Engine):
         elif kind == "bigvgan":
             self.cfg = cfg or BigVGANConfig()
             self.model = BigVGANGenerator(self.cfg)
+        elif kind == "pwg":
+            from audiogpt_tpu.models.vocoder.pwg import PWGConfig, PWGGenerator
+
+            self.cfg = cfg or PWGConfig()
+            self.model = PWGGenerator(self.cfg)
+        elif kind == "melgan":
+            from audiogpt_tpu.models.vocoder.pwg import MelGANConfig, MelGANGenerator
+
+            self.cfg = cfg or MelGANConfig()
+            self.model = MelGANGenerator(self.cfg)
         else:
             raise ValueError(kind)
         self.n_mels = getattr(self.cfg, "in_channels", None) or getattr(

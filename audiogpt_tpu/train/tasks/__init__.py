@@ -3,6 +3,9 @@
 from audiogpt_tpu.train.tasks.fs2 import FS2Task, FS2TaskConfig
 from audiogpt_tpu.train.tasks.diffusion import DiffSingerTask, DiffSingerTaskConfig
 from audiogpt_tpu.train.tasks.vocoder_gan import VocoderGANTask, VocoderGANTaskConfig
+from audiogpt_tpu.train.tasks.tts_adv import AdvTTSTask, AdvTTSTaskConfig
+from audiogpt_tpu.train.tasks.vae import VAETask, VAETaskConfig
 
 __all__ = ["FS2Task", "FS2TaskConfig", "DiffSingerTask", "DiffSingerTaskConfig",
-           "VocoderGANTask", "VocoderGANTaskConfig"]
+           "VocoderGANTask", "VocoderGANTaskConfig", "AdvTTSTask",
+           "AdvTTSTaskConfig", "VAETask", "VAETaskConfig"]

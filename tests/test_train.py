@@ -243,3 +243,60 @@ def test_diffsinger_task_step(tmp_path):
     lines = [json.loads(l) for l in open(os.path.join(tmp_path, "metrics.jsonl"))]
     tr = [l for l in lines if l["prefix"] == "tr"]
     assert tr and np.isfinite(tr[-1]["diff"]) and tr[-1]["nonfinite"] == 0
+
+
+# -- adversarial TTS (ps_adv) ----------------------------------------------
+
+def test_adv_tts_steps(tmp_path):
+    from audiogpt_tpu.train.tasks import AdvTTSTask, AdvTTSTaskConfig, FS2TaskConfig
+
+    cfg = AdvTTSTaskConfig(
+        fs2=FS2TaskConfig(model=_tiny_fs2_task().cfg.model, lambda_ssim=0.0,
+                          optim=OptimConfig(schedule="constant", lr=1e-3)),
+        disc_windows=(8, 16), disc_hidden=8)
+    task = AdvTTSTask(cfg)
+    tcfg = TrainerConfig(work_dir=str(tmp_path), max_updates=2,
+                         val_check_interval=100, log_interval=1,
+                         num_sanity_val_steps=0, use_tensorboard=False)
+    trainer = Trainer(task, tcfg)
+    rng = np.random.default_rng(0)
+    batch = _fs2_batch(rng, f=24)
+    batch["mel_lengths"] = np.full(8, 24, np.int32)
+
+    def gen():
+        while True:
+            yield batch
+
+    state = trainer.fit(gen())
+    lines = [json.loads(l) for l in open(os.path.join(tmp_path, "metrics.jsonl"))]
+    tr = [l for l in lines if l["prefix"] == "tr"]
+    assert tr and np.isfinite(tr[-1]["adv"]) and np.isfinite(tr[-1]["d_loss"])
+
+
+# -- VAE-GAN first stage ---------------------------------------------------
+
+def test_vae_gan_steps(tmp_path):
+    from audiogpt_tpu.models.diffusion import VAEConfig
+    from audiogpt_tpu.train.tasks import VAETask, VAETaskConfig
+
+    cfg = VAETaskConfig(vae=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                                      attn_resolutions=(), in_channels=1,
+                                      z_channels=4, resolution=16))
+    task = VAETask(cfg)
+    tcfg = TrainerConfig(work_dir=str(tmp_path), max_updates=2,
+                         val_check_interval=100, log_interval=1,
+                         num_sanity_val_steps=0, use_tensorboard=False)
+    trainer = Trainer(task, tcfg)
+    rng = np.random.default_rng(0)
+    batch = {"mels": rng.normal(size=(8, 16, 16, 1)).astype(np.float32),
+             "weight": np.ones(8, np.float32)}
+
+    def gen():
+        while True:
+            yield batch
+
+    trainer.fit(gen())
+    lines = [json.loads(l) for l in open(os.path.join(tmp_path, "metrics.jsonl"))]
+    tr = [l for l in lines if l["prefix"] == "tr"]
+    assert tr and np.isfinite(tr[-1]["rec"]) and np.isfinite(tr[-1]["kl"]) \
+        and np.isfinite(tr[-1]["d_loss"])

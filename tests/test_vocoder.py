@@ -110,3 +110,49 @@ class TestNSF:
         y = model.apply(params, mel, f0, rng=jax.random.PRNGKey(1))
         assert y.shape == (1, 20 * 256)
         assert bool(jnp.isfinite(y).all())
+
+
+class TestPWGMelGAN:
+    """ParallelWaveGAN + MelGAN generators (parallel_wavegan.py:21,
+    melgan.py) through the shared engine."""
+
+    def test_pwg_shapes(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from audiogpt_tpu.models.vocoder.pwg import PWGConfig, PWGGenerator
+
+        cfg = PWGConfig(layers=6, stacks=2, residual_channels=8,
+                        gate_channels=16, skip_channels=8,
+                        upsample_scales=(4, 4))
+        model = PWGGenerator(cfg)
+        mel = jnp.zeros((2, 12, 80))
+        params = model.init(jax.random.PRNGKey(0), mel)
+        wav = model.apply(params, mel, rng=jax.random.PRNGKey(1))
+        assert wav.shape == (2, 12 * 16)
+        assert np.isfinite(np.asarray(wav)).all()
+
+    def test_melgan_engine(self):
+        import numpy as np
+        from audiogpt_tpu.engines.vocoder import VocoderEngine
+        from audiogpt_tpu.models.vocoder.pwg import MelGANConfig
+
+        cfg = MelGANConfig(channels=32, upsample_scales=(4, 2),
+                           stacks=1)
+        eng = VocoderEngine("melgan", cfg=cfg, buckets=(32,))
+        mel = np.zeros((20, 80), np.float32)
+        wav = eng(mel)
+        assert wav.shape == (20 * cfg.hop_size,)
+        assert np.isfinite(wav).all()
+
+    def test_pwg_engine(self):
+        import numpy as np
+        from audiogpt_tpu.engines.vocoder import VocoderEngine
+        from audiogpt_tpu.models.vocoder.pwg import PWGConfig
+
+        cfg = PWGConfig(layers=4, stacks=2, residual_channels=8,
+                        gate_channels=16, skip_channels=8,
+                        upsample_scales=(4, 2))
+        eng = VocoderEngine("pwg", cfg=cfg, buckets=(16,))
+        wav = eng(np.zeros((10, 80), np.float32))
+        assert wav.shape == (10 * cfg.hop_size,)
