@@ -191,17 +191,19 @@ class UNetModel(nn.Module):
         emb = nn.Dense(ted, name="time_embed_0")(emb)
         emb = nn.Dense(ted, name="time_embed_2")(nn.silu(emb))
 
-        ckpt = jax.checkpoint if cfg.use_checkpoint else (lambda f: f)
+        # rematerialization must go through flax's module-aware remat —
+        # raw jax.checkpoint around a bound module leaks tracers via params
+        ResBlk = nn.remat(ResBlock) if cfg.use_checkpoint else ResBlock
+        AttnBlk = nn.remat(SpatialTransformer) if cfg.use_checkpoint \
+            else SpatialTransformer
 
         def res(h, emb, out_ch, name):
-            blk = ResBlock(out_ch, name=name)
-            return ckpt(lambda a, e: blk(a, e))(h, emb)
+            return ResBlk(out_ch, name=name)(h, emb)
 
         def attn_at(h, context, ch, name):
             dim_head = ch // cfg.num_heads
-            blk = SpatialTransformer(cfg.num_heads, dim_head, cfg.transformer_depth,
-                                     cfg.context_dim, name=name)
-            return ckpt(lambda a, c: blk(a, c))(h, context)
+            return AttnBlk(cfg.num_heads, dim_head, cfg.transformer_depth,
+                           cfg.context_dim, name=name)(h, context)
 
         hs = []
         ch = cfg.model_channels

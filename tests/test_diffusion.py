@@ -196,3 +196,28 @@ class TestSamplers:
                           jax.random.PRNGKey(0), from_step=10,
                           x_start=jnp.full(shape, 0.3))
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unet_remat_path():
+    """use_checkpoint=True goes through nn.remat — must not leak tracers
+    (regression: raw jax.checkpoint around bound modules broke the full-size
+    engine while all tiny tests ran with use_checkpoint=False)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = UNET_TINY.__class__(**{**UNET_TINY.__dict__, "use_checkpoint": True})
+    model = UNetModel(cfg)
+    x = jnp.zeros((1, 8, 8, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 3, cfg.context_dim))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx)
+
+    @jax.jit
+    def f(p, x, t, ctx):
+        return model.apply(p, x, t, ctx)
+
+    out = f(params, x, t, ctx)
+    assert out.shape == x.shape
+    # grads flow through the remat boundary
+    g = jax.grad(lambda p: f(p, x, t, ctx).sum())(params)
+    assert jax.tree.leaves(g)
