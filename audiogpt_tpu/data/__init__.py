@@ -14,13 +14,15 @@ from audiogpt_tpu.data.binarizer import (
     BinarizeConfig, Item, TTSBinarizer, load_phone_encoder, load_split,
     mel2ph_from_durations,
 )
-from audiogpt_tpu.data.loader import TTSDataLoader, collate_tts, prefetch
+from audiogpt_tpu.data.loader import (TTSDataLoader, VocoderDataLoader,
+    collate_tts, collate_vocoder, prefetch)
 from audiogpt_tpu.data.records import RecordDataset, RecordWriter
 
 __all__ = [
     "BucketSpec", "EndlessSampler", "batch_by_size", "collate_1d",
     "collate_2d", "ordered_indices", "BinarizeConfig", "Item",
     "TTSBinarizer", "load_phone_encoder", "load_split",
-    "mel2ph_from_durations", "TTSDataLoader", "collate_tts", "prefetch",
+    "mel2ph_from_durations", "TTSDataLoader", "VocoderDataLoader", "collate_tts",
+    "collate_vocoder", "prefetch",
     "RecordDataset", "RecordWriter",
 ]

@@ -146,3 +146,64 @@ def prefetch(it: Iterator[Any], depth: int = 2) -> Iterator[Any]:
         if x is done:
             return
         yield x
+
+
+def collate_vocoder(samples: list[dict], segment_frames: int, hop: int,
+                    rng: np.random.Generator | None = None,
+                    batch_round: int | None = None) -> dict[str, np.ndarray]:
+    """Random aligned (mel window, wav segment) crops for GAN vocoder
+    training (the reference's ``VocoderDataset`` crop,
+    ``tasks/vocoder/dataset_utils.py``). Records need ``mel`` and ``wav``
+    (binarize with ``with_wav=True``). Short items pad with zeros."""
+    rng = rng or np.random.default_rng()
+    mels, wavs = [], []
+    for s in samples:
+        mel = np.asarray(s["mel"], np.float32)
+        wav = np.asarray(s["wav"], np.float32)
+        frames = mel.shape[0]
+        if frames <= segment_frames:
+            pad = segment_frames - frames
+            mel = np.pad(mel, ((0, pad), (0, 0)))
+            wav = np.pad(wav, (0, segment_frames * hop - len(wav)))[
+                : segment_frames * hop]
+            start = 0
+        else:
+            start = int(rng.integers(0, frames - segment_frames + 1))
+            mel = mel[start: start + segment_frames]
+            w0 = start * hop
+            wav = np.pad(wav, (0, max(0, w0 + segment_frames * hop - len(wav))
+                               ))[w0: w0 + segment_frames * hop]
+        mels.append(mel)
+        wavs.append(wav)
+    batch = {"mels": np.stack(mels), "wav": np.stack(wavs),
+             "weight": np.ones(len(samples), np.float32)}
+    if batch_round and len(samples) % batch_round:
+        pad = batch_round - len(samples) % batch_round
+        for k, v in batch.items():
+            batch[k] = np.concatenate(
+                [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+        batch["weight"][len(samples):] = 0.0
+    return batch
+
+
+class VocoderDataLoader:
+    """Endless random-crop batches for GAN vocoder training."""
+
+    def __init__(self, ds, segment_frames: int, hop: int, batch_size: int,
+                 seed: int = 0, shard: int = 0, num_shards: int = 1):
+        from audiogpt_tpu.data.batching import EndlessSampler
+
+        self.ds = ds
+        self.segment_frames = segment_frames
+        self.hop = hop
+        self.batch_size = batch_size
+        self.sampler = EndlessSampler(len(ds), seed=seed, shard=shard,
+                                      num_shards=num_shards)
+        self.rng = np.random.default_rng(seed + shard)
+
+    def __iter__(self):
+        it = iter(self.sampler)
+        while True:
+            idx = [next(it) for _ in range(self.batch_size)]
+            yield collate_vocoder([self.ds[i] for i in idx],
+                                  self.segment_frames, self.hop, self.rng)

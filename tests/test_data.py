@@ -209,3 +209,25 @@ def test_loader_multihost_split(tmp_path):
 def test_mel2ph_from_durations():
     m = mel2ph_from_durations([2, 3, 1], 8)
     np.testing.assert_array_equal(m, [1, 1, 2, 2, 2, 3, 0, 0])
+
+
+def test_vocoder_collate_and_loader(tmp_path):
+    from audiogpt_tpu.data import VocoderDataLoader, collate_vocoder
+
+    out = str(tmp_path / "bin")
+    cfg = BinarizeConfig(with_f0=False, with_wav=True)
+    TTSBinarizer(cfg).binarize(_toy_items(8), out)
+    ds = load_split(out, "train")
+    hop = cfg.mel.hop
+    samples = [ds[i] for i in range(min(4, len(ds)))]
+    batch = collate_vocoder(samples, segment_frames=16, hop=hop,
+                            rng=np.random.default_rng(0), batch_round=8)
+    assert batch["mels"].shape == (8, 16, 80)
+    assert batch["wav"].shape == (8, 16 * hop)
+    assert batch["weight"].sum() == len(samples)
+
+    loader = VocoderDataLoader(ds, segment_frames=16, hop=hop, batch_size=4)
+    b = next(iter(loader))
+    assert b["mels"].shape == (4, 16, 80) and b["wav"].shape == (4, 16 * hop)
+    # crops are wav/mel aligned in length
+    assert np.isfinite(b["wav"]).all()
