@@ -158,3 +158,72 @@ class SVSEngine(Engine):
         f0 = np.asarray(out["f0_denorm"])[0][: mel.shape[0]] \
             if out.get("f0_denorm") is not None else None
         return self.vocoder(mel, f0=f0)
+
+
+class VISingerEngine(Engine):
+    """VITS-class end-to-end SVS (the reference's ``t2s_VISinger`` tool,
+    audio-chatgpt.py:341 — an external ESPnet model there, native here).
+    Same score-string surface as :class:`SVSEngine`; emits waveform directly
+    (no separate vocoder)."""
+
+    name = "visinger"
+
+    def __init__(self, cfg=None, params=None, phone_encoder=None,
+                 pinyin2phs: dict[str, str] | None = None,
+                 token_buckets=(32, 64, 128), rng_seed: int = 0,
+                 sample_rate: int = 24000):
+        from audiogpt_tpu.models.svs.visinger import VISinger, VISingerConfig
+
+        super().__init__()
+        self.cfg = cfg or VISingerConfig()
+        self.pinyin2phs = pinyin2phs or {}
+        self.model = VISinger(self.cfg)
+        self._sr = sample_rate
+        if phone_encoder is None:
+            finals = ["a", "o", "e", "i", "u", "v", "ai", "ei", "ao", "ou",
+                      "an", "en", "ang", "eng", "ong", "er", "ia", "iao",
+                      "ian", "iang", "ie", "in", "ing", "iong", "iu", "ua",
+                      "uai", "uan", "uang", "ui", "un", "uo", "ve", "vn"]
+            vocab = sorted(set(_INITIALS + finals + ["<AP>", "<SP>", "rest"]))
+            phone_encoder = TokenTextEncoder(vocab)
+        self.phone_encoder = phone_encoder
+        self.bucketer = Bucketer(token_buckets)
+        self._rng = jax.random.PRNGKey(rng_seed)
+        if params is None:
+            t = jnp.ones((1, 4), jnp.int32)
+            params = self.model.init(
+                {"params": jax.random.PRNGKey(rng_seed)}, t,
+                jnp.full((1, 4), 60, jnp.int32), jnp.zeros((1, 4), jnp.int32),
+                rng=jax.random.PRNGKey(0))
+        self.params = params
+        self._fn = jax.jit(
+            lambda p, t, midi, dur, slur, rng: self.model.apply(
+                p, t, midi, slur, note_durs=dur,
+                frames_per_sec=self.frames_per_sec, rng=rng))
+
+    @property
+    def sample_rate(self) -> int:
+        return self._sr
+
+    @property
+    def frames_per_sec(self) -> float:
+        return self._sr / self.cfg.decoder.hop_size
+
+    def synthesize(self, text: str, notes: str, notes_duration: str) -> np.ndarray:
+        # reuse the DiffSinger score parser via a temporary SVSEngine-less path
+        parser = SVSEngine.parse_word_level
+        phs, note_lst, dur_lst, slur = parser(self, text, notes, notes_duration)
+        tokens = np.asarray(self.phone_encoder.encode(phs), np.int32)
+        midi = np.asarray([note_to_midi(n) for n in note_lst], np.int32)
+        dur = np.asarray([float(d) for d in dur_lst], np.float32)
+        slur_a = np.asarray(slur, np.int32)
+        t, _ = self.bucketer.pad_to_bucket(tokens[None], axis=1)
+        m, _ = self.bucketer.pad_to_bucket(midi[None], axis=1)
+        d, _ = self.bucketer.pad_to_bucket(dur[None], axis=1)
+        s, _ = self.bucketer.pad_to_bucket(slur_a[None], axis=1)
+        self._rng, rng = jax.random.split(self._rng)
+        out = self._fn(self.params, jnp.asarray(t), jnp.asarray(m),
+                       jnp.asarray(d), jnp.asarray(s), rng)
+        wav = np.asarray(out["wav"])[0]
+        n_frames = int((np.asarray(out["mel2ph"])[0] > 0).sum())
+        return wav[: n_frames * self.cfg.decoder.hop_size]

@@ -101,10 +101,14 @@ class T2AEngine(Engine):
         }
 
     # -- conditioning -------------------------------------------------------
+    @functools.cached_property
+    def _encode_fn(self):
+        return jax.jit(lambda p, ids, masks: self.clap.apply(p, ids, masks))
+
     def encode_text(self, texts: list[str]) -> jnp.ndarray:
         ids, masks = zip(*(self.tokenizer.encode(t, self.cfg.clap.max_length)
                            for t in texts))
-        return self.clap.apply(self.params["clap"], jnp.asarray(np.stack(ids)),
+        return self._encode_fn(self.params["clap"], jnp.asarray(np.stack(ids)),
                                jnp.asarray(np.stack(masks)))
 
     # -- compiled cores -----------------------------------------------------

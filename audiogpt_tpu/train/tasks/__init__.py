@@ -5,7 +5,9 @@ from audiogpt_tpu.train.tasks.diffusion import DiffSingerTask, DiffSingerTaskCon
 from audiogpt_tpu.train.tasks.vocoder_gan import VocoderGANTask, VocoderGANTaskConfig
 from audiogpt_tpu.train.tasks.tts_adv import AdvTTSTask, AdvTTSTaskConfig
 from audiogpt_tpu.train.tasks.vae import VAETask, VAETaskConfig
+from audiogpt_tpu.train.tasks.visinger import VISingerTask, VISingerTaskConfig
 
 __all__ = ["FS2Task", "FS2TaskConfig", "DiffSingerTask", "DiffSingerTaskConfig",
            "VocoderGANTask", "VocoderGANTaskConfig", "AdvTTSTask",
-           "AdvTTSTaskConfig", "VAETask", "VAETaskConfig"]
+           "AdvTTSTaskConfig", "VAETask", "VAETaskConfig", "VISingerTask",
+           "VISingerTaskConfig"]

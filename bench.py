@@ -96,11 +96,12 @@ def bench_diffusion_steps(iters: int = 3, steps: int = 25):
     from audiogpt_tpu.engines.t2a import T2AConfig, T2AEngine
 
     eng = T2AEngine(T2AConfig())
+    eng.txt2audio("warmup", n_samples=1, ddim_steps=steps, seed=0)  # compile
     t0 = time.perf_counter()
     for i in range(iters):
         out = eng.txt2audio("benchmark", n_samples=1, ddim_steps=steps,
                             seed=i)
-    import jax as _j
+        _host_sync(out)
     dt = (time.perf_counter() - t0) / iters
     return steps * 2 / dt  # CFG pair counts as 2 UNet evals per step
 
