@@ -25,6 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from audiogpt_tpu.registry import VOCODERS
+
 
 # ---------------------------------------------------------------------------
 # Parallel WaveGAN
@@ -68,6 +70,7 @@ class PWGResidualBlock(nn.Module):
         return (x + res) * math.sqrt(0.5), skip
 
 
+@VOCODERS.register("pwg")
 class PWGGenerator(nn.Module):
     """(noise [B, T], mel [B, frames, A]) → wav [B, T]; T = frames * hop."""
 
@@ -138,6 +141,7 @@ class MelGANResidualStack(nn.Module):
         return x + h
 
 
+@VOCODERS.register("melgan")
 class MelGANGenerator(nn.Module):
     """mel [B, frames, M] → wav [B, frames*hop] (melgan.py MelGANGenerator)."""
 
