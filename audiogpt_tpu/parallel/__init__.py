@@ -6,3 +6,4 @@ from audiogpt_tpu.parallel.mesh import (  # noqa: F401
     param_sharding,
     local_batch_slice,
 )
+from audiogpt_tpu.parallel.tp_rules import tp_rules  # noqa: F401
