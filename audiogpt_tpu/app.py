@@ -1,0 +1,187 @@
+"""Application assembly: build the engine set and launch the chat app.
+
+The reference's ``ConversationBot.__init__`` eagerly loads all 14 models and
+pins them to cuda:0/cuda:1/cpu by hand (``audio-chatgpt.py:1055-1072``).
+Here engines are constructed per requested capability (SPMD placement is
+JAX's job), with checkpoint restore when a store path is supplied and random
+init otherwise (smoke/demo mode).
+
+CLI:  python -m audiogpt_tpu.serve --engines tts,enhance --port 7860
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Any, Callable, Mapping
+
+#: capability name → zero-arg factory. Lazy so `--engines tts` doesn't build
+#: the diffusion stack. Extend via register_engine().
+_FACTORIES: dict[str, Callable[[], Any]] = {}
+
+
+def register_engine(name: str):
+    def deco(fn):
+        _FACTORIES[name] = fn
+        return fn
+
+    return deco
+
+
+@register_engine("tts")
+def _tts():
+    from audiogpt_tpu.engines.tts import TTSEngine
+
+    return TTSEngine()
+
+
+@register_engine("tts_ood")
+def _tts_ood():
+    from audiogpt_tpu.engines.tts_ood import StyleTransferEngine
+
+    return StyleTransferEngine()
+
+
+@register_engine("svs")
+def _svs():
+    from audiogpt_tpu.engines.svs import SVSEngine
+    from audiogpt_tpu.engines.vocoder import VocoderEngine
+
+    return SVSEngine(vocoder=VocoderEngine("hifigan"))
+
+
+@register_engine("visinger")
+def _visinger():
+    from audiogpt_tpu.engines.svs import VISingerEngine
+
+    return VISingerEngine()
+
+
+@register_engine("asr")
+def _asr():
+    from audiogpt_tpu.engines.asr import ASREngine
+
+    return ASREngine()
+
+
+@register_engine("t2a")
+def _t2a():
+    from audiogpt_tpu.engines.t2a import T2AEngine
+    from audiogpt_tpu.engines.vocoder import VocoderEngine
+    from audiogpt_tpu.models.textenc.clap import CLAPScorer
+
+    return T2AEngine(vocoder=VocoderEngine("bigvgan"),
+                     scorer=CLAPScorer(sample_rate=16000))
+
+
+@register_engine("i2a")
+def _i2a():
+    from audiogpt_tpu.engines.i2a import I2AEngine
+
+    return I2AEngine(_FACTORIES["t2a"]())
+
+
+@register_engine("caption")
+def _caption():
+    from audiogpt_tpu.engines.analysis import CaptionEngine
+
+    return CaptionEngine()
+
+
+@register_engine("sed")
+def _sed():
+    from audiogpt_tpu.engines.analysis import SEDEngine
+
+    return SEDEngine()
+
+
+@register_engine("tsd")
+def _tsd():
+    from audiogpt_tpu.engines.analysis import TSDEngine
+
+    return TSDEngine()
+
+
+@register_engine("extraction")
+def _extraction():
+    from audiogpt_tpu.engines.transform import ExtractionEngine
+
+    return ExtractionEngine()
+
+
+@register_engine("enhance")
+def _enhance():
+    from audiogpt_tpu.engines.transform import SeparationEngine
+    from audiogpt_tpu.models.separation.convtasnet import ConvTasNetConfig
+
+    return SeparationEngine(ConvTasNetConfig(n_src=1))
+
+
+@register_engine("separate")
+def _separate():
+    from audiogpt_tpu.engines.transform import SeparationEngine
+    from audiogpt_tpu.models.separation.convtasnet import ConvTasNetConfig
+
+    return SeparationEngine(ConvTasNetConfig(n_src=2))
+
+
+@register_engine("binaural")
+def _binaural():
+    from audiogpt_tpu.engines.transform import BinauralEngine
+
+    return BinauralEngine()
+
+
+ALL_ENGINES = tuple(sorted(_FACTORIES))
+
+
+def build_engines(names: Mapping[str, Any] | list[str] | str = "all"
+                  ) -> dict[str, Any]:
+    """Build engines by capability name. ``names`` may be 'all', a list, or a
+    mapping name→already-constructed engine (passed through)."""
+    if isinstance(names, str):
+        names = list(ALL_ENGINES) if names == "all" else \
+            [n.strip() for n in names.split(",") if n.strip()]
+    if isinstance(names, Mapping):
+        return dict(names)
+    out: dict[str, Any] = {}
+    for n in names:
+        if n not in _FACTORIES:
+            raise KeyError(f"unknown engine {n!r}; have {ALL_ENGINES}")
+        out[n] = _FACTORIES[n]()
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--engines", default="enhance",
+                    help=f"comma list or 'all' of {ALL_ENGINES}")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=7860)
+    ap.add_argument("--media-root", default=".")
+    ap.add_argument("--llm-base-url", default=None,
+                    help="OpenAI-compatible endpoint; scripted echo otherwise")
+    ap.add_argument("--llm-model", default="gpt-3.5-turbo")
+    ap.add_argument("--llm-api-key", default=None)
+    args = ap.parse_args(argv)
+
+    from audiogpt_tpu.serving import AppServer, make_server
+
+    if args.llm_base_url:
+        from audiogpt_tpu.agent.llm import OpenAICompatLLM
+
+        llm = OpenAICompatLLM(base_url=args.llm_base_url,
+                              model=args.llm_model,
+                              api_key=args.llm_api_key or "")
+    else:
+        from audiogpt_tpu.agent.llm import ScriptedLLM
+
+        llm = ScriptedLLM([])  # echo/demo mode: always answers directly
+    app = AppServer(llm, build_engines(args.engines),
+                    media_root=args.media_root)
+    httpd = make_server(app, args.host, args.port)
+    print(f"| serving {sorted(app.engines)} on http://{args.host}:{args.port}")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
