@@ -62,11 +62,21 @@ class SVSEngine(Engine):
                  vocoder: VocoderEngine | None = None,
                  phone_encoder: TokenTextEncoder | None = None,
                  pinyin2phs: dict[str, str] | None = None,
+                 pitch_extractor=None, pe_params=None,
                  token_buckets=(32, 64, 128), rng_seed: int = 0,
                  pndm_speedup: int = 10):
         super().__init__()
         self.cfg = cfg or DiffSingerConfig()
         self.model = DiffSinger(self.cfg)
+        # optional mel->f0 network for the NSF vocoder (reference pe_enable,
+        # ds_e2e.py:42-44); DiffSinger-MIDI itself predicts no f0
+        self.pitch_extractor = pitch_extractor
+        self.pe_params = pe_params
+        if pitch_extractor is not None and pe_params is None:
+            self.pe_params = pitch_extractor.init(
+                jax.random.PRNGKey(rng_seed),
+                jnp.zeros((1, 8, self.cfg.net.mel_bins)))
+        self._pe_fn = None
         self.pinyin2phs = pinyin2phs or {}
         self.pndm_speedup = pndm_speedup
         if phone_encoder is None:
@@ -157,6 +167,12 @@ class SVSEngine(Engine):
             return mel
         f0 = np.asarray(out["f0_denorm"])[0][: mel.shape[0]] \
             if out.get("f0_denorm") is not None else None
+        if f0 is None and self.pitch_extractor is not None:
+            if self._pe_fn is None:
+                self._pe_fn = jax.jit(
+                    lambda p, m: self.pitch_extractor.apply(p, m))
+            pe_out = self._pe_fn(self.pe_params, jnp.asarray(mel[None]))
+            f0 = np.asarray(pe_out["f0_denorm_pred"])[0]
         return self.vocoder(mel, f0=f0)
 
 

@@ -6,8 +6,9 @@ from audiogpt_tpu.train.tasks.vocoder_gan import VocoderGANTask, VocoderGANTaskC
 from audiogpt_tpu.train.tasks.tts_adv import AdvTTSTask, AdvTTSTaskConfig
 from audiogpt_tpu.train.tasks.vae import VAETask, VAETaskConfig
 from audiogpt_tpu.train.tasks.visinger import VISingerTask, VISingerTaskConfig
+from audiogpt_tpu.train.tasks.pe import PETask, PETaskConfig
 
 __all__ = ["FS2Task", "FS2TaskConfig", "DiffSingerTask", "DiffSingerTaskConfig",
            "VocoderGANTask", "VocoderGANTaskConfig", "AdvTTSTask",
            "AdvTTSTaskConfig", "VAETask", "VAETaskConfig", "VISingerTask",
-           "VISingerTaskConfig"]
+           "VISingerTaskConfig", "PETask", "PETaskConfig"]

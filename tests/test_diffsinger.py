@@ -137,3 +137,55 @@ class TestSVSEngine:
         mel = eng.synthesize("xiao jiu", "C4 | D4", "0.5 | 0.5")
         assert mel.ndim == 2 and mel.shape[1] == 16
         assert np.isfinite(mel).all()
+
+
+class TestPitchExtractor:
+    """PE network (pe.py:119) + NSF wiring in the SVS engine."""
+
+    def test_pe_outputs(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from audiogpt_tpu.models.tts.pitch_extractor import (
+            PitchExtractor, PitchExtractorConfig,
+        )
+
+        cfg = PitchExtractorConfig(n_mels=20, hidden=16, conv_layers=1,
+                                   predictor_layers=1)
+        model = PitchExtractor(cfg)
+        mel = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 20))
+        params = model.init(jax.random.PRNGKey(1), mel)
+        out = model.apply(params, mel)
+        assert out["pitch_pred"].shape == (2, 12, 2)
+        assert out["f0_denorm_pred"].shape == (2, 12)
+        f0 = np.asarray(out["f0_denorm_pred"])
+        assert np.isfinite(f0).all()
+        # padded frames → f0 exactly 0
+        mel_pad = mel.at[:, 8:].set(0.0)
+        out2 = model.apply(params, mel_pad)
+        assert np.all(np.asarray(out2["f0_denorm_pred"])[:, 8:] == 0)
+
+    def test_pe_task_step(self):
+        import jax
+        import numpy as np
+        from audiogpt_tpu.models.tts.pitch_extractor import PitchExtractorConfig
+        from audiogpt_tpu.train.optim import OptimConfig
+        from audiogpt_tpu.train.tasks.pe import PETask, PETaskConfig
+
+        task = PETask(PETaskConfig(
+            model=PitchExtractorConfig(n_mels=20, hidden=16, conv_layers=1,
+                                       predictor_layers=1),
+            optim=OptimConfig(schedule="constant", lr=1e-3)))
+        params = task.init_params(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        b, f = 2, 12
+        batch = {
+            "mels": rng.normal(size=(b, f, 20)).astype(np.float32),
+            "f0": rng.uniform(100, 300, (b, f)).astype(np.float32),
+            "uv": np.zeros((b, f), np.float32),
+            "weight": np.ones(b, np.float32),
+        }
+        loss, metrics = task.loss_fns["model"](params, batch,
+                                               jax.random.PRNGKey(1))
+        assert np.isfinite(float(loss))
+        assert "f0" in metrics and "uv" in metrics
