@@ -68,11 +68,16 @@ class T2AEngine(Engine):
     def __init__(self, cfg: T2AConfig | None = None, params: dict | None = None,
                  vocoder: VocoderEngine | None = None,
                  tokenizer: WordPieceTokenizer | None = None,
-                 scorer=None, rng_seed: int = 0):
+                 scorer=None, mesh=None, rng_seed: int = 0):
         super().__init__()
         #: optional CLAPScorer for best-of-n re-ranking (constructed once —
         #: fixes the per-call reload at audio-chatgpt.py:187)
         self.scorer = scorer
+        #: optional jax Mesh: candidates shard over the 'data' axis so
+        #: best-of-n costs one multi-chip step (the reference runs three
+        #: sequential GPU samples, audio-chatgpt.py:163-181); params
+        #: replicate, the sampler's collectives ride ICI.
+        self.mesh = mesh
         self.cfg = cfg or T2AConfig()
         self.unet = UNetModel(self.cfg.unet)
         self.vae = AutoencoderKL(self.cfg.vae)
@@ -86,6 +91,10 @@ class T2AEngine(Engine):
 
         if params is None:
             params = self.init_params(jax.random.PRNGKey(rng_seed))
+        if mesh is not None:
+            from audiogpt_tpu.parallel.mesh import replicate
+
+            params = replicate(params, mesh)
         self.params = params  # {"unet":…, "vae":…, "clap":…}
 
     def init_params(self, rng) -> dict:
@@ -162,6 +171,11 @@ class T2AEngine(Engine):
         """→ candidate mels [n, frames, 80] in [0,1] (and wavs if a vocoder
         is attached: returns (mels, wavs))."""
         cfg = self.cfg
+        if self.mesh is not None:
+            # round candidates up to the data axis — extra candidates are
+            # free on idle chips and only improve best-of-n
+            d = self.mesh.shape["data"]
+            n_samples = ((n_samples + d - 1) // d) * d
         ctx = self.encode_text([text] * n_samples)
         uc = self.encode_text([""] * n_samples)
         h, w = cfg.latent_hw
@@ -171,6 +185,11 @@ class T2AEngine(Engine):
             self._rng, rng = jax.random.split(self._rng)
         rng, krng = jax.random.split(rng)
         x_T = jax.random.normal(krng, (n_samples, h, w, cfg.unet.in_channels))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sh = NamedSharding(self.mesh, P("data"))
+            ctx, uc, x_T = (jax.device_put(a, batch_sh) for a in (ctx, uc, x_T))
         mel = self._sample_fn(self.params, ctx, uc, rng, x_T, scale,
                               ddim_steps, h, w)
         mel = np.asarray(mel)[..., 0]          # [n, 80, W]

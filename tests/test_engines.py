@@ -125,3 +125,34 @@ class TestT2AEngine:
         mask[10:20] = 0.0
         out = eng.inpaint(wav, mask, ddim_steps=3)
         assert out.shape[1] == eng.cfg.mel_bins or out.ndim == 1
+
+
+class TestT2AMultiChip:
+    """Candidate batch sharded over the 8-device virtual mesh (multi-chip
+    best-of-n serving — SURVEY.md §2.6 DP at inference)."""
+
+    def test_sharded_candidates(self):
+        import jax
+        import numpy as np
+        from audiogpt_tpu.engines.t2a import T2AConfig, T2AEngine
+        from audiogpt_tpu.models.diffusion import UNetConfig, VAEConfig
+        from audiogpt_tpu.models.textenc import CLAPTextConfig
+        from audiogpt_tpu.models.textenc.bert import BertConfig
+        from audiogpt_tpu.parallel import MeshSpec, make_mesh
+
+        mesh = make_mesh(MeshSpec(data=8, model=1))
+        eng = T2AEngine(T2AConfig(
+            unet=UNetConfig(model_channels=32, num_res_blocks=1,
+                            channel_mult=(1, 2), num_heads=4, context_dim=24,
+                            in_channels=4, use_checkpoint=False),
+            vae=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                          attn_resolutions=(), in_channels=1, z_channels=4,
+                          resolution=16),
+            clap=CLAPTextConfig(bert=BertConfig(
+                vocab_size=100, hidden_size=16, num_layers=1, num_heads=2,
+                intermediate_size=32), d_proj=24),
+            mel_bins=16, mel_len=32), mesh=mesh)
+        mels = eng.txt2audio("multi chip", n_samples=3, ddim_steps=2, seed=0)
+        # rounded up to the data-axis size
+        assert mels.shape[0] == 8
+        assert mels.shape[2] == 16 and np.isfinite(mels).all()
