@@ -158,3 +158,68 @@ def caption_greedy_decode(model: CaptionModel, variables, wav: jnp.ndarray,
 
     return np.asarray(run(variables, wav, wav_len if wav_len is not None
                           else jnp.full((b,), wav.shape[1], jnp.int32)))
+
+
+def caption_beam_decode(model: CaptionModel, variables, wav: jnp.ndarray,
+                        wav_len=None, beam_size: int = 3,
+                        length_penalty: float = 1.0) -> np.ndarray:
+    """Batched beam search as one jit program (the reference's beam decode,
+    ``audio_to_text/captioning/models/base_model.py`` — used by the A2T
+    checkpoint configs). Returns the best hypothesis token ids [B, L].
+
+    Mechanics: the beam dimension folds into the batch for the decoder
+    re-run (static shapes), scores accumulate log-probs with finished beams
+    frozen at EOS; final pick by length-normalized score.
+    """
+    cfg = model.cfg
+    b = wav.shape[0]
+    L = cfg.max_caption_len
+    k = beam_size
+    V = cfg.vocab_size
+
+    @jax.jit
+    def run(variables, wav, wav_len):
+        memory, mem_len = model.apply(variables, wav, wav_len,
+                                      method=CaptionModel.encode)
+        # expand memory to the beam: [B*k, T, H]
+        mem = jnp.repeat(memory, k, axis=0)
+        mlen = jnp.repeat(mem_len, k, axis=0)
+
+        tokens = jnp.full((b, k, L), cfg.eos_id, jnp.int32)
+        tokens = tokens.at[:, :, 0].set(cfg.sos_id)
+        # first expansion must come from beam 0 only
+        scores = jnp.tile(jnp.asarray([0.0] + [-1e9] * (k - 1))[None], (b, 1))
+        done = jnp.zeros((b, k), bool)
+
+        def body(i, carry):
+            tokens, scores, done = carry
+            logits = model.apply(variables, tokens.reshape(b * k, L), mem,
+                                 mlen, method=CaptionModel.decode_logits)
+            logp = jax.nn.log_softmax(logits[:, i - 1].reshape(b, k, V))
+            # frozen beams: only EOS continues, at zero cost
+            frozen = jnp.full((b, k, V), -1e9).at[:, :, cfg.eos_id].set(0.0)
+            logp = jnp.where(done[..., None], frozen, logp)
+            cand = scores[..., None] + logp                   # [B, k, V]
+            flat = cand.reshape(b, k * V)
+            top_scores, top_idx = jax.lax.top_k(flat, k)      # [B, k]
+            src_beam = top_idx // V
+            next_tok = top_idx % V
+            tokens = jnp.take_along_axis(tokens, src_beam[..., None], axis=1)
+            done = jnp.take_along_axis(done, src_beam, axis=1)
+            tokens = tokens.at[:, :, i].set(
+                jnp.where(done, cfg.eos_id, next_tok))
+            done = done | (next_tok == cfg.eos_id)
+            return tokens, top_scores, done
+
+        tokens, scores, done = jax.lax.fori_loop(
+            1, L, body, (tokens, scores, done))
+        # length-normalized pick
+        lengths = (tokens != cfg.eos_id).sum(-1)
+        norm = scores / jnp.maximum(lengths, 1) ** length_penalty
+        best = jnp.argmax(norm, axis=-1)
+        return jnp.take_along_axis(tokens, best[:, None, None],
+                                   axis=1)[:, 0]
+
+    return np.asarray(run(variables, wav,
+                          wav_len if wav_len is not None
+                          else jnp.full((b,), wav.shape[1], jnp.int32)))

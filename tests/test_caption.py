@@ -104,3 +104,30 @@ class TestCaptionPipeline:
         variables = model.init(jax.random.PRNGKey(0), wav, words)
         logits = model.apply(variables, wav, words)
         assert logits.shape == (2, 5, 50)
+
+
+def test_beam_decode_matches_greedy_at_k1():
+    """beam_size=1 must reproduce greedy exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from audiogpt_tpu.models.caption.captioner import (
+        CaptionConfig, CaptionModel, caption_beam_decode,
+        caption_greedy_decode,
+    )
+    from audiogpt_tpu.models.caption.cnn14 import Cnn14Config
+
+    cfg = CaptionConfig(cnn14=Cnn14Config(channels=(8, 8, 16, 16, 32, 32)),
+                        rnn_hidden=16, vocab_size=30, emb_dim=16, nhead=2,
+                        nlayers=1, dim_feedforward=32, max_caption_len=6)
+    model = CaptionModel(cfg)
+    wav = jax.random.normal(jax.random.PRNGKey(0), (2, 32000))
+    params = model.init(jax.random.PRNGKey(1), wav,
+                        jnp.zeros((2, 4), jnp.int32))
+    g = caption_greedy_decode(model, params, wav)
+    b1 = caption_beam_decode(model, params, wav, beam_size=1)
+    np.testing.assert_array_equal(g, b1)
+    # k=3 returns valid hypotheses with sos prefix
+    b3 = caption_beam_decode(model, params, wav, beam_size=3)
+    assert b3.shape == g.shape
+    assert (b3[:, 0] == cfg.sos_id).all()
