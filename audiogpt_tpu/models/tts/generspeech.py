@@ -50,33 +50,46 @@ from audiogpt_tpu.ops.attention import attention
 
 
 class VQEmbeddingEMA(nn.Module):
-    """EMA vector quantizer (``prosody_util.py:16``; k-means init replaced by
-    normal init — EMA converges to the same codebook)."""
+    """Vector quantizer (``prosody_util.py:16``; k-means init replaced by
+    normal init).
+
+    Two codebook-learning modes:
+      * ``ema=True`` (reference behavior): EMA updates via the ``vq_stats``
+        mutable collection — for training loops that thread mutable state;
+      * ``ema=False``: codebook is a regular parameter trained by the
+        VQ-VAE codebook loss ``‖sg(x) − e‖²`` (the task adds it) — plays
+        directly with the jitted Trainer step (no mutable state).
+    """
 
     n_codes: int = 64
     dim: int = 256
     decay: float = 0.999
     epsilon: float = 1e-5
+    ema: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        """x [B, T, D] → (quantized [B, T, D] straight-through, indices)."""
-        emb = self.variable("vq_stats", "embedding",
-                            lambda: jax.random.normal(
-                                jax.random.PRNGKey(0),
-                                (self.n_codes, self.dim)) * 0.1)
-        ema_w = self.variable("vq_stats", "ema_weight", lambda: emb.value)
-        ema_n = self.variable("vq_stats", "ema_count",
-                              lambda: jnp.ones((self.n_codes,)))
+        """x [B, T, D] → (quantized straight-through, indices, raw_quant)."""
+        init = lambda rng=None: jax.random.normal(
+            jax.random.PRNGKey(0), (self.n_codes, self.dim)) * 0.1
+        if self.ema:
+            emb_var = self.variable("vq_stats", "embedding", init)
+            ema_w = self.variable("vq_stats", "ema_weight",
+                                  lambda: emb_var.value)
+            ema_n = self.variable("vq_stats", "ema_count",
+                                  lambda: jnp.ones((self.n_codes,)))
+            embedding = emb_var.value
+        else:
+            embedding = self.param("embedding", lambda rng: init())
 
         flat = x.reshape(-1, self.dim)
         d = (jnp.sum(flat ** 2, 1, keepdims=True)
-             - 2 * flat @ emb.value.T
-             + jnp.sum(emb.value ** 2, 1)[None])
+             - 2 * flat @ embedding.T
+             + jnp.sum(embedding ** 2, 1)[None])
         idx = jnp.argmin(d, axis=-1)
-        quant = emb.value[idx].reshape(x.shape)
+        quant = embedding[idx].reshape(x.shape)
 
-        if train and not self.is_initializing():
+        if self.ema and train and not self.is_initializing():
             onehot = jax.nn.one_hot(idx, self.n_codes)
             n = onehot.sum(0)
             dw = onehot.T @ flat
@@ -87,7 +100,7 @@ class VQEmbeddingEMA(nn.Module):
                 (tot + self.n_codes * self.epsilon) * tot
             ema_n.value = new_count
             ema_w.value = new_weight
-            emb.value = new_weight / stable[:, None]
+            emb_var.value = new_weight / stable[:, None]
 
         # straight-through estimator
         quant_st = x + jax.lax.stop_gradient(quant - x)
@@ -120,13 +133,19 @@ class LocalStyleAdaptor(nn.Module):
 
     hidden: int
     n_codes: int = 64
+    vq_ema: bool = True
 
     @nn.compact
     def __call__(self, ref_mel, ref_nonpad=None, train: bool = False):
         h = ConvStack(self.hidden, name="encoder")(ref_mel, ref_nonpad)
         quant, idx, raw = VQEmbeddingEMA(self.n_codes, self.hidden,
+                                         ema=self.vq_ema,
                                          name="vq")(h, train=train)
         commit = jnp.mean((h - jax.lax.stop_gradient(raw)) ** 2)
+        if not self.vq_ema:
+            # codebook loss replaces the EMA update (VQ-VAE eq. 3)
+            commit = commit + jnp.mean(
+                (jax.lax.stop_gradient(h) - raw) ** 2)
         return quant, commit
 
 
@@ -375,6 +394,7 @@ class GenerSpeechConfig:
     glow_steps: int = 4
     glow_wn_layers: int = 3
     use_post_flow: bool = True
+    vq_ema: bool = True          # False → codebook-loss VQ (jit-friendly)
 
 
 class GenerSpeech(nn.Module):
@@ -402,7 +422,8 @@ class GenerSpeech(nn.Module):
 
         for level in ("utter", "ph", "word"):
             setattr(self, f"style_{level}",
-                    LocalStyleAdaptor(d, cfg.n_vq, name=f"style_{level}"))
+                    LocalStyleAdaptor(d, cfg.n_vq, vq_ema=cfg.vq_ema,
+                                      name=f"style_{level}"))
             setattr(self, f"align_{level}",
                     ProsodyAligner(d, name=f"align_{level}"))
 

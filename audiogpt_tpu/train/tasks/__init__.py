@@ -7,8 +7,10 @@ from audiogpt_tpu.train.tasks.tts_adv import AdvTTSTask, AdvTTSTaskConfig
 from audiogpt_tpu.train.tasks.vae import VAETask, VAETaskConfig
 from audiogpt_tpu.train.tasks.visinger import VISingerTask, VISingerTaskConfig
 from audiogpt_tpu.train.tasks.pe import PETask, PETaskConfig
+from audiogpt_tpu.train.tasks.generspeech import GenerSpeechTask, GenerSpeechTaskConfig
 
 __all__ = ["FS2Task", "FS2TaskConfig", "DiffSingerTask", "DiffSingerTaskConfig",
            "VocoderGANTask", "VocoderGANTaskConfig", "AdvTTSTask",
            "AdvTTSTaskConfig", "VAETask", "VAETaskConfig", "VISingerTask",
-           "VISingerTaskConfig", "PETask", "PETaskConfig"]
+           "VISingerTaskConfig", "PETask", "PETaskConfig",
+           "GenerSpeechTask", "GenerSpeechTaskConfig"]

@@ -140,3 +140,48 @@ class TestEngine:
         mel = eng.synthesize("hello world", ref_wav)
         assert mel.ndim == 2 and mel.shape[1] == 20
         assert np.isfinite(mel).all()
+
+
+class TestTrainingTask:
+    def test_generspeech_trainer_steps(self, tmp_path):
+        import json
+        import os
+
+        import numpy as np
+        from audiogpt_tpu.train import OptimConfig, Trainer, TrainerConfig
+        from audiogpt_tpu.train.tasks import (
+            GenerSpeechTask, GenerSpeechTaskConfig,
+        )
+
+        task = GenerSpeechTask(GenerSpeechTaskConfig(
+            model=_tiny_cfg(), lambda_ssim=0.0,
+            optim=OptimConfig(schedule="constant", lr=1e-3)))
+        assert task.cfg.model.vq_ema is False  # jit-friendly mode forced
+        tcfg = TrainerConfig(work_dir=str(tmp_path), max_updates=2,
+                             val_check_interval=100, log_interval=1,
+                             num_sanity_val_steps=0, use_tensorboard=False)
+        trainer = Trainer(task, tcfg)
+        rng = np.random.default_rng(0)
+        b, t, f = 8, 8, 16
+        batch = {
+            "txt_tokens": rng.integers(3, 80, (b, t)).astype(np.int32),
+            "mel2ph": np.repeat(np.arange(1, t + 1), f // t)[None].repeat(
+                b, 0).astype(np.int32),
+            "mels": rng.normal(size=(b, f, 20)).astype(np.float32),
+            "f0": rng.uniform(100, 300, (b, f)).astype(np.float32),
+            "uv": np.zeros((b, f), np.float32),
+            "weight": np.ones(b, np.float32),
+        }
+
+        def gen():
+            while True:
+                yield batch
+
+        trainer.fit(gen())
+        lines = [json.loads(l)
+                 for l in open(os.path.join(tmp_path, "metrics.jsonl"))]
+        tr = [l for l in lines if l["prefix"] == "tr"]
+        assert tr
+        for k in ("mel", "commit", "guided", "postflow", "f0", "pdur"):
+            assert np.isfinite(tr[-1][k]), k
+        assert tr[-1]["nonfinite"] == 0
