@@ -26,9 +26,7 @@ from audiogpt_tpu.engines.vocoder import VocoderEngine
 from audiogpt_tpu.models.svs import DiffSinger, DiffSingerConfig
 from audiogpt_tpu.text.encoder import TokenTextEncoder
 
-# standard pinyin initials, longest-first for greedy matching
-_INITIALS = ["zh", "ch", "sh", "b", "p", "m", "f", "d", "t", "n", "l", "g",
-             "k", "h", "j", "q", "x", "r", "z", "c", "s", "y", "w"]
+from audiogpt_tpu.text.zh import INITIALS as _INITIALS, split_pinyin  # noqa: F401
 
 _NOTE_OFFSET = {"C": 0, "D": 2, "E": 4, "F": 5, "G": 7, "A": 9, "B": 11}
 
@@ -46,13 +44,13 @@ def note_to_midi(name: str) -> int:
     return midi
 
 
-def split_pinyin(syllable: str) -> list[str]:
-    """'xiao' → ['x', 'iao']; 'ai' → ['ai'] (zero-initial)."""
-    s = syllable.lower().strip()
-    for ini in _INITIALS:
-        if s.startswith(ini) and len(s) > len(ini):
-            return [ini, s[len(ini):]]
-    return [s]
+def _default_svs_vocab():
+    """opencpop-style pinyin initial/final phone set + specials."""
+    finals = ["a", "o", "e", "i", "u", "v", "ai", "ei", "ao", "ou",
+              "an", "en", "ang", "eng", "ong", "er", "ia", "iao",
+              "ian", "iang", "ie", "in", "ing", "iong", "iu", "ua",
+              "uai", "uan", "uang", "ui", "un", "uo", "ve", "vn"]
+    return sorted(set(_INITIALS + finals + ["<AP>", "<SP>", "rest"]))
 
 
 class SVSEngine(Engine):
@@ -80,12 +78,7 @@ class SVSEngine(Engine):
         self.pinyin2phs = pinyin2phs or {}
         self.pndm_speedup = pndm_speedup
         if phone_encoder is None:
-            finals = ["a", "o", "e", "i", "u", "v", "ai", "ei", "ao", "ou",
-                      "an", "en", "ang", "eng", "ong", "er", "ia", "iao",
-                      "ian", "iang", "ie", "in", "ing", "iong", "iu", "ua",
-                      "uai", "uan", "uang", "ui", "un", "uo", "ve", "vn"]
-            vocab = sorted(set(_INITIALS + finals + ["<AP>", "<SP>", "rest"]))
-            phone_encoder = TokenTextEncoder(vocab)
+            phone_encoder = TokenTextEncoder(_default_svs_vocab())
         self.phone_encoder = phone_encoder
         self.vocoder = vocoder
         self.bucketer = Bucketer(token_buckets)
@@ -196,12 +189,7 @@ class VISingerEngine(Engine):
         self.model = VISinger(self.cfg)
         self._sr = sample_rate
         if phone_encoder is None:
-            finals = ["a", "o", "e", "i", "u", "v", "ai", "ei", "ao", "ou",
-                      "an", "en", "ang", "eng", "ong", "er", "ia", "iao",
-                      "ian", "iang", "ie", "in", "ing", "iong", "iu", "ua",
-                      "uai", "uan", "uang", "ui", "un", "uo", "ve", "vn"]
-            vocab = sorted(set(_INITIALS + finals + ["<AP>", "<SP>", "rest"]))
-            phone_encoder = TokenTextEncoder(vocab)
+            phone_encoder = TokenTextEncoder(_default_svs_vocab())
         self.phone_encoder = phone_encoder
         self.bucketer = Bucketer(token_buckets)
         self._rng = jax.random.PRNGKey(rng_seed)

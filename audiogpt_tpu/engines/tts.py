@@ -38,17 +38,9 @@ class TTSEngine(Engine):
         super().__init__()
         if frontend is None:
             if phone_vocab is None:
-                # built-in ARPAbet phone set: stressable vowels + consonants +
-                # specials, enough for the rule-based G2P's output space
-                vowels = ["AA", "AE", "AH", "AO", "AW", "AY", "EH", "ER",
-                          "EY", "IH", "IY", "OW", "OY", "UH", "UW"]
-                phone_vocab = sorted(
-                    [v + s for v in vowels for s in "012"]
-                    + ["B", "CH", "D", "DH", "F", "G", "HH", "JH", "K", "L",
-                       "M", "N", "NG", "P", "R", "S", "SH", "T", "TH", "V",
-                       "W", "Y", "Z", "ZH"]
-                    + ["|", "<BOS>", "<EOS>", "!", ",", ".", "?", ";", ":"]
-                )
+                from audiogpt_tpu.text import default_arpabet_vocab
+
+                phone_vocab = default_arpabet_vocab()
             encoder = TokenTextEncoder(phone_vocab)
             frontend = EnglishFrontend(phone_encoder=encoder)
         self.frontend = frontend

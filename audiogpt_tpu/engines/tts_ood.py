@@ -46,16 +46,10 @@ class StyleTransferEngine(Engine):
         self.vocoder = vocoder
         self.frontend = frontend or EnglishFrontend(phone_encoder=phone_encoder)
         if self.frontend.phone_encoder is None and phone_encoder is None:
-            # built-in ARPAbet vocab, same set as TTSEngine's default
-            vowels = ["AA", "AE", "AH", "AO", "AW", "AY", "EH", "ER",
-                      "EY", "IH", "IY", "OW", "OY", "UH", "UW"]
-            vocab = sorted(
-                [v + s for v in vowels for s in "012"]
-                + ["B", "CH", "D", "DH", "F", "G", "HH", "JH", "K", "L",
-                   "M", "N", "NG", "P", "R", "S", "SH", "T", "TH", "V",
-                   "W", "Y", "Z", "ZH"]
-                + ["|", "<BOS>", "<EOS>", "!", ",", ".", "?", ";", ":"])
-            self.frontend.phone_encoder = TokenTextEncoder(vocab)
+            from audiogpt_tpu.text import default_arpabet_vocab
+
+            self.frontend.phone_encoder = TokenTextEncoder(
+                default_arpabet_vocab())
         self.token_bucketer = Bucketer(token_buckets)
         self.ref_bucketer = Bucketer(ref_frame_buckets)
         self._rng = jax.random.PRNGKey(rng_seed)

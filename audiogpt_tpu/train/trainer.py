@@ -186,6 +186,22 @@ class Trainer:
         cfg = self.cfg
         max_updates = max_updates if max_updates is not None else cfg.max_updates
         state = self.restore_or_init()
+
+        # Preemption handling (reference has none — SURVEY.md §5): SIGTERM /
+        # SIGINT requests a graceful stop; the loop checkpoints and returns,
+        # so a restarted job resumes at the same step.
+        stop_requested = {"flag": False}
+        old_handlers = {}
+        try:
+            import signal
+
+            def _request_stop(signum, frame):
+                stop_requested["flag"] = True
+
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                old_handlers[sig] = signal.signal(sig, _request_stop)
+        except (ValueError, OSError):
+            pass  # non-main thread / restricted env: no handler, no harm
         start_step = int(jax.device_get(state["step"]))
         rng = jax.random.PRNGKey(cfg.seed + start_step)
 
@@ -199,7 +215,7 @@ class Trainer:
         t0 = time.time()
         step = start_step
         for batch in train_batches:
-            if step >= max_updates:
+            if step >= max_updates or stop_requested["flag"]:
                 break
             batch = shard_batch(batch, self.mesh)
             rng, krng = jax.random.split(rng)
@@ -226,4 +242,10 @@ class Trainer:
         if step != start_step and step % cfg.val_check_interval != 0:
             # large finite sentinel: never wins best-by-monitor, stays JSON-safe
             self.store.save(step, state, metrics={cfg.monitor: 1e30})
+        if stop_requested["flag"] and self.logger.is_main:
+            print(f"| graceful stop at step {step} (checkpoint saved)")
+        for sig, h in old_handlers.items():
+            import signal
+
+            signal.signal(sig, h)
         return state

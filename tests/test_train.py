@@ -300,3 +300,37 @@ def test_vae_gan_steps(tmp_path):
     tr = [l for l in lines if l["prefix"] == "tr"]
     assert tr and np.isfinite(tr[-1]["rec"]) and np.isfinite(tr[-1]["kl"]) \
         and np.isfinite(tr[-1]["d_loss"])
+
+
+def test_preemption_graceful_stop(tmp_path):
+    """SIGTERM mid-training → checkpoint written, resume continues (SURVEY
+    §5: the reference has no preemption handling)."""
+    import os
+    import signal
+    import threading
+
+    task = _tiny_fs2_task()
+    tcfg = TrainerConfig(work_dir=str(tmp_path), max_updates=1000,
+                         val_check_interval=500, log_interval=1000,
+                         num_sanity_val_steps=0, use_tensorboard=False)
+    trainer = Trainer(task, tcfg)
+    rng = np.random.default_rng(0)
+    batch = _fs2_batch(rng)
+
+    def gen():
+        sent = False
+        while True:
+            yield batch
+            if not sent:
+                # after the first step: request stop like a preemption notice
+                os.kill(os.getpid(), signal.SIGTERM)
+                sent = True
+
+    state = trainer.fit(gen())
+    stopped_at = int(jax.device_get(state["step"]))
+    assert 1 <= stopped_at < 1000
+    assert trainer.store.latest_step() == stopped_at
+    # resume picks up exactly there
+    t2 = Trainer(task, tcfg)
+    s2 = t2.restore_or_init()
+    assert int(jax.device_get(s2["step"])) == stopped_at
