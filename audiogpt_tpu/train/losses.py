@@ -29,6 +29,21 @@ def mel_l1_loss(pred, target, row_weight=None):
         jnp.maximum(w.sum() * target.shape[-1], 1.0)
 
 
+def uniform_mel2ph(txt_lengths: jnp.ndarray, mel_lengths: jnp.ndarray,
+                   n_frames: int) -> jnp.ndarray:
+    """Uniform frame→phone alignment for corpora without forced alignment
+    (the reference REQUIRES MFA TextGrids, ``base_binarizer.py:188``; this
+    fallback distributes each item's frames evenly over its tokens so the
+    duration/pitch losses stay defined)."""
+    b = txt_lengths.shape[0]
+    f_idx = jnp.arange(n_frames)[None, :]
+    valid = f_idx < mel_lengths[:, None]
+    ph = jnp.floor(f_idx * txt_lengths[:, None] /
+                   jnp.maximum(mel_lengths[:, None], 1)) + 1
+    ph = jnp.clip(ph, 1, jnp.maximum(txt_lengths[:, None], 1))
+    return jnp.where(valid, ph, 0).astype(jnp.int32)
+
+
 def mel2ph_to_dur(mel2ph: jnp.ndarray, n_tokens: int) -> jnp.ndarray:
     """[B, F] frame→phone map → [B, T] per-phone frame counts
     (``modules/fastspeech/tts_modules.py`` mel2ph_to_dur)."""

@@ -54,6 +54,14 @@ class FS2Task:
         if uv is None and f0 is not None:
             uv = (f0 == 0).astype(f0.dtype)
         f0n = norm_f0(f0, uv, mcfg) if f0 is not None else None
+        mel2ph = batch.get("mel2ph")
+        if mel2ph is None:
+            # no forced alignment in the corpus → uniform fallback
+            mel2ph = L.uniform_mel2ph(batch["txt_lengths"],
+                                      batch["mel_lengths"],
+                                      batch["mels"].shape[1])
+            batch = dict(batch)
+            batch["mel2ph"] = mel2ph
         out = self.model.apply(
             params["model"], batch["txt_tokens"],
             mel2ph=batch["mel2ph"], f0=f0n, uv=uv,

@@ -1,0 +1,148 @@
+"""Training entry point — the reference's ``python tasks/run.py --config
+egs/... --exp_name ...`` convention (``BaseTask.start``,
+``NeuralSeq/tasks/base_task.py:221``), driven by the yaml-inheritance Config.
+
+    python -m audiogpt_tpu.train_cli --config configs/tts/fs2.yaml \
+        --exp_name exp/fs2_lj --hparams "optim.lr=1.0,max_updates=100000"
+
+The resolved config persists to ``<exp_name>/config.yaml`` (hparams.py:109
+behavior) and the work dir holds checkpoints + metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Any
+
+from audiogpt_tpu.config import Config, load_config
+
+
+def _fill(dc_cls, data: dict) -> Any:
+    """Build a (nested) dataclass from a plain dict, keeping defaults for
+    missing keys and descending into dataclass-typed fields."""
+    kwargs = {}
+    fields = {f.name: f for f in dataclasses.fields(dc_cls)}
+    for k, v in data.items():
+        if k not in fields:
+            continue
+        f = fields[k]
+        default = getattr(dc_cls, k, f.default)
+        if dataclasses.is_dataclass(f.default) and isinstance(v, dict):
+            kwargs[k] = _fill(type(f.default), v)
+        elif isinstance(v, list):
+            kwargs[k] = tuple(tuple(x) if isinstance(x, list) else x
+                              for x in v)
+        else:
+            kwargs[k] = v
+        del default
+    return dc_cls(**kwargs)
+
+
+def _optim_from(cfg: Config):
+    from audiogpt_tpu.train.optim import OptimConfig
+
+    return _fill(OptimConfig, dict(cfg.get("optim", {})))
+
+
+def build_task(cfg: Config):
+    """task name → Task instance with model/loss hparams from the config."""
+    name = cfg.get("task", "fs2")
+    model = dict(cfg.get("model", {}))
+    loss = dict(cfg.get("loss", {}))
+    optim = _optim_from(cfg)
+    if name == "fs2":
+        from audiogpt_tpu.models.tts.fastspeech2 import FastSpeech2Config
+        from audiogpt_tpu.train.tasks import FS2Task, FS2TaskConfig
+
+        return FS2Task(_fill(FS2TaskConfig, {
+            "model": model, "optim": dataclasses.asdict(optim), **loss}))
+    if name == "diffsinger":
+        from audiogpt_tpu.train.tasks import (
+            DiffSingerTask, DiffSingerTaskConfig,
+        )
+
+        return DiffSingerTask(_fill(DiffSingerTaskConfig, {
+            "model": model, "optim": dataclasses.asdict(optim), **loss}))
+    if name == "vocoder_gan":
+        from audiogpt_tpu.train.tasks import (
+            VocoderGANTask, VocoderGANTaskConfig,
+        )
+
+        return VocoderGANTask(_fill(VocoderGANTaskConfig, {
+            "gen": model, "segment_frames": cfg.get("segment_frames", 32),
+            "optim_gen": dataclasses.asdict(optim),
+            "optim_disc": dataclasses.asdict(optim), **loss}))
+    if name == "generspeech":
+        from audiogpt_tpu.train.tasks import (
+            GenerSpeechTask, GenerSpeechTaskConfig,
+        )
+
+        return GenerSpeechTask(_fill(GenerSpeechTaskConfig, {
+            "model": model, "optim": dataclasses.asdict(optim), **loss}))
+    raise ValueError(f"unknown task {name!r}")
+
+
+def build_loaders(cfg: Config, task_name: str):
+    from audiogpt_tpu.data import (
+        BucketSpec, TTSDataLoader, VocoderDataLoader, load_split,
+    )
+
+    d = cfg.get("data", {})
+    bin_dir = d.get("binary_dir", "data/bin")
+    train_ds = load_split(bin_dir, "train")
+    if task_name == "vocoder_gan":
+        gen_cfg = cfg.get("model", {})
+        import numpy as np
+
+        hop = int(np.prod(tuple(gen_cfg.get("upsample_rates", (8, 8, 2, 2)))))
+        loader = VocoderDataLoader(train_ds,
+                                   segment_frames=cfg.get("segment_frames", 32),
+                                   hop=hop,
+                                   batch_size=cfg.get("batch_size", 16))
+        return iter(loader), None
+    spec = BucketSpec.dyadic(d.get("max_len", 2048), d.get("max_batch", 64),
+                             min_batch=d.get("min_batch", 8))
+    train = TTSDataLoader(train_ds, max_tokens=d.get("max_tokens", 30000),
+                          max_sentences=d.get("max_sentences", 100),
+                          spec=spec)
+
+    def val_fn():
+        val_ds = load_split(bin_dir, "valid")
+        return TTSDataLoader(val_ds, max_tokens=d.get("max_tokens", 30000),
+                             max_sentences=d.get("max_sentences", 100),
+                             spec=spec, shuffle=False).epoch(0)
+
+    return iter(train), val_fn
+
+
+def main(argv=None):
+    from audiogpt_tpu.train import Trainer, TrainerConfig
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--exp_name", required=True)
+    ap.add_argument("--hparams", default="", help='dot overrides "a.b=1,c=2"')
+    ap.add_argument("--max_updates", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    cfg = load_config(args.config, overrides=args.hparams)
+    cfg.save(os.path.join(args.exp_name, "config.yaml"))
+
+    task = build_task(cfg)
+    tcfg = TrainerConfig(
+        work_dir=args.exp_name,
+        max_updates=args.max_updates or cfg.get("max_updates", 1_000_000),
+        val_check_interval=cfg.get("val_check_interval", 2000),
+        num_sanity_val_steps=cfg.get("num_sanity_val_steps", 5),
+        log_interval=cfg.get("log_interval", 100),
+        num_ckpt_keep=cfg.get("num_ckpt_keep", 3),
+        seed=cfg.get("seed", 1234))
+    trainer = Trainer(task, tcfg)
+    train_it, val_fn = build_loaders(cfg, cfg.get("task", "fs2"))
+    trainer.fit(train_it, val_fn)
+
+
+if __name__ == "__main__":
+    main()

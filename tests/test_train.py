@@ -334,3 +334,39 @@ def test_preemption_graceful_stop(tmp_path):
     t2 = Trainer(task, tcfg)
     s2 = t2.restore_or_init()
     assert int(jax.device_get(s2["step"])) == stopped_at
+
+
+def test_uniform_mel2ph_fallback():
+    from audiogpt_tpu.train.losses import uniform_mel2ph
+
+    m = uniform_mel2ph(jnp.asarray([4, 2]), jnp.asarray([8, 4]), 10)
+    assert m.shape == (2, 10)
+    got = np.asarray(m)
+    # item 0: 8 frames over 4 tokens → 2 frames each, pads zero after
+    np.testing.assert_array_equal(got[0], [1, 1, 2, 2, 3, 3, 4, 4, 0, 0])
+    np.testing.assert_array_equal(got[1], [1, 1, 2, 2, 0, 0, 0, 0, 0, 0])
+
+
+def test_train_cli_build_task():
+    """Config → task construction for every registered task name."""
+    from audiogpt_tpu.config import Config
+    from audiogpt_tpu.train_cli import build_task
+
+    fs2 = build_task(Config({"task": "fs2",
+                             "model": {"hidden_size": 16, "enc_layers": 1,
+                                       "dec_layers": 1,
+                                       "enc_ffn_kernel_size": 3,
+                                       "dec_ffn_kernel_size": 3,
+                                       "predictor_hidden": 8},
+                             "loss": {"lambda_ssim": 0.0},
+                             "optim": {"schedule": "constant", "lr": 1e-3}}))
+    assert fs2.cfg.model.hidden_size == 16
+    assert fs2.cfg.lambda_ssim == 0.0
+    assert fs2.cfg.optim.schedule == "constant"
+
+    voc = build_task(Config({"task": "vocoder_gan",
+                             "model": {"upsample_rates": [4, 4],
+                                       "upsample_kernel_sizes": [8, 8]},
+                             "segment_frames": 16}))
+    assert voc.cfg.gen.upsample_rates == (4, 4)
+    assert voc.cfg.segment_frames == 16
