@@ -138,3 +138,47 @@ def test_mode_switch(server):
     code, body, _ = _req(port, "/mode", json.dumps({"mode": "bogus"}).encode(),
                          {"Content-Type": "application/json"})
     assert code == 500 and b"ValueError" in body
+
+
+def test_speech_endpoint(tmp_path):
+    """ASR→agent→TTS loop over HTTP (reference `speech`, 1294)."""
+    import io
+    import threading
+    from scipy.io import wavfile
+
+    from audiogpt_tpu.agent.llm import ScriptedLLM
+    from audiogpt_tpu.serving import AppServer, make_server
+
+    root = str(tmp_path)
+
+    def fake_asr(path):
+        return "what is the weather"
+
+    def fake_tts(text):
+        out = f"{root}/audio/tts_out.wav"
+        import os
+
+        os.makedirs(f"{root}/audio", exist_ok=True)
+        save_wav(np.zeros(8000, np.float32), out, 16000)
+        return out
+
+    llm = ScriptedLLM([
+        "Thought: Do I need to use a tool? No\nAI: Sunny, probably."])
+    app = AppServer(llm, {}, media_root=root, asr=fake_asr, tts=fake_tts,
+                    mode="speech")
+    httpd = make_server(app, port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        buf = io.BytesIO()
+        wavfile.write(buf, 16000, np.zeros(16000, np.int16))
+        code, body, _ = _req(port, "/speech", buf.getvalue())
+        assert code == 200
+        data = json.loads(body)
+        assert data["transcript"] == "what is the weather"
+        assert data["response"] == "Sunny, probably."
+        assert data["audio"].startswith("/media/")
+        code, wav_bytes, _ = _req(port, data["audio"])
+        assert code == 200 and len(wav_bytes) > 1000
+    finally:
+        httpd.shutdown()
