@@ -32,6 +32,7 @@ from audiogpt_tpu.models.diffusion import (
     UNetModel,
     VAEConfig,
     ddim_sample,
+    plms_sample,
 )
 from audiogpt_tpu.models.textenc import CLAPTextConfig, CLAPTextEncoder
 from audiogpt_tpu.models.textenc.clap import WordPieceTokenizer
@@ -125,13 +126,16 @@ class T2AEngine(Engine):
     def _sample_fn(self):
         cfg = self.cfg
 
-        @functools.partial(jax.jit, static_argnames=("guidance", "n_steps", "h", "w"))
-        def run(params, context, uncond, rng, x_T, guidance, n_steps, h, w):
+        @functools.partial(jax.jit, static_argnames=("guidance", "n_steps",
+                                                     "h", "w", "sampler"))
+        def run(params, context, uncond, rng, x_T, guidance, n_steps, h, w,
+                sampler="ddim"):
             def eps(x, t, c):
                 return self.unet.apply(params["unet"], x, t, c)
 
             b = context.shape[0]
-            z = ddim_sample(
+            sample = plms_sample if sampler == "plms" else ddim_sample
+            z = sample(
                 eps, self.schedule, (b, h, w, cfg.unet.in_channels),
                 context, uncond, rng, n_steps=n_steps,
                 guidance_scale=guidance, x_T=x_T)
@@ -167,9 +171,12 @@ class T2AEngine(Engine):
 
     # -- public API ---------------------------------------------------------
     def txt2audio(self, text: str, n_samples: int = 3, ddim_steps: int = 100,
-                  scale: float = 1.5, seed: int | None = None) -> np.ndarray:
+                  scale: float = 1.5, seed: int | None = None,
+                  sampler: str = "ddim") -> np.ndarray:
         """→ candidate mels [n, frames, 80] in [0,1] (and wavs if a vocoder
-        is attached: returns (mels, wavs))."""
+        is attached: returns (mels, wavs)). ``sampler='plms'`` matches the
+        reference's PLMSSampler (``plms.py``) — quality-comparable at ~4×
+        fewer steps (25 vs 100)."""
         cfg = self.cfg
         if self.mesh is not None:
             # round candidates up to the data axis — extra candidates are
@@ -191,7 +198,7 @@ class T2AEngine(Engine):
             batch_sh = NamedSharding(self.mesh, P("data"))
             ctx, uc, x_T = (jax.device_put(a, batch_sh) for a in (ctx, uc, x_T))
         mel = self._sample_fn(self.params, ctx, uc, rng, x_T, scale,
-                              ddim_steps, h, w)
+                              ddim_steps, h, w, sampler)
         mel = np.asarray(mel)[..., 0]          # [n, 80, W]
         mels = mel.transpose(0, 2, 1)          # [n, frames, 80]
         if self.vocoder is None:

@@ -156,3 +156,27 @@ class TestT2AMultiChip:
         # rounded up to the data-axis size
         assert mels.shape[0] == 8
         assert mels.shape[2] == 16 and np.isfinite(mels).all()
+
+
+def test_t2a_plms_sampler_path():
+    """PLMS path compiles and produces distinct-but-similar output shape."""
+    import numpy as np
+    from audiogpt_tpu.engines.t2a import T2AConfig, T2AEngine
+    from audiogpt_tpu.models.diffusion import UNetConfig, VAEConfig
+    from audiogpt_tpu.models.textenc import CLAPTextConfig
+    from audiogpt_tpu.models.textenc.bert import BertConfig
+
+    eng = T2AEngine(T2AConfig(
+        unet=UNetConfig(model_channels=32, num_res_blocks=1,
+                        channel_mult=(1, 2), num_heads=4, context_dim=24,
+                        in_channels=4, use_checkpoint=False),
+        vae=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                      attn_resolutions=(), in_channels=1, z_channels=4,
+                      resolution=16),
+        clap=CLAPTextConfig(bert=BertConfig(vocab_size=100, hidden_size=16,
+                                            num_layers=1, num_heads=2,
+                                            intermediate_size=32), d_proj=24),
+        mel_bins=16, mel_len=32))
+    m = eng.txt2audio("plms check", n_samples=1, ddim_steps=5, seed=0,
+                      sampler="plms")
+    assert m.shape == (1, 32, 16) and np.isfinite(m).all()
