@@ -8,9 +8,10 @@ from audiogpt_tpu.train.tasks.vae import VAETask, VAETaskConfig
 from audiogpt_tpu.train.tasks.visinger import VISingerTask, VISingerTaskConfig
 from audiogpt_tpu.train.tasks.pe import PETask, PETaskConfig
 from audiogpt_tpu.train.tasks.generspeech import GenerSpeechTask, GenerSpeechTaskConfig
+from audiogpt_tpu.train.tasks.ldm import LDMTask, LDMTaskConfig
 
 __all__ = ["FS2Task", "FS2TaskConfig", "DiffSingerTask", "DiffSingerTaskConfig",
            "VocoderGANTask", "VocoderGANTaskConfig", "AdvTTSTask",
            "AdvTTSTaskConfig", "VAETask", "VAETaskConfig", "VISingerTask",
            "VISingerTaskConfig", "PETask", "PETaskConfig",
-           "GenerSpeechTask", "GenerSpeechTaskConfig"]
+           "GenerSpeechTask", "GenerSpeechTaskConfig", "LDMTask", "LDMTaskConfig"]

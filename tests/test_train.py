@@ -370,3 +370,51 @@ def test_train_cli_build_task():
                              "segment_frames": 16}))
     assert voc.cfg.gen.upsample_rates == (4, 4)
     assert voc.cfg.segment_frames == 16
+
+
+def test_ldm_task_steps(tmp_path):
+    """LDM (T2A) training: eps loss finite, UNet moves, frozen stages don't."""
+    from audiogpt_tpu.models.diffusion import UNetConfig, VAEConfig
+    from audiogpt_tpu.models.textenc import CLAPTextConfig
+    from audiogpt_tpu.models.textenc.bert import BertConfig
+    from audiogpt_tpu.train.tasks import LDMTask, LDMTaskConfig
+
+    cfg = LDMTaskConfig(
+        unet=UNetConfig(model_channels=32, num_res_blocks=1,
+                        channel_mult=(1, 2), num_heads=4, context_dim=24,
+                        in_channels=4, use_checkpoint=False),
+        vae=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                      attn_resolutions=(), in_channels=1, z_channels=4,
+                      resolution=16),
+        clap=CLAPTextConfig(bert=BertConfig(vocab_size=100, hidden_size=16,
+                                            num_layers=1, num_heads=2,
+                                            intermediate_size=32), d_proj=24),
+        timesteps=50,
+        optim=OptimConfig(optimizer="adamw", lr=1e-3, schedule="constant"))
+    task = LDMTask(cfg)
+    tcfg = TrainerConfig(work_dir=str(tmp_path), max_updates=2,
+                         val_check_interval=100, log_interval=1,
+                         num_sanity_val_steps=0, use_tensorboard=False)
+    trainer = Trainer(task, tcfg)
+    rng = np.random.default_rng(0)
+    batch = {
+        "mels": rng.normal(size=(8, 16, 16, 1)).astype(np.float32),
+        "text_ids": rng.integers(1, 100, (8, 6)).astype(np.int32),
+        "text_mask": np.ones((8, 6), np.int32),
+        "weight": np.ones(8, np.float32),
+    }
+
+    def gen():
+        while True:
+            yield batch
+
+    p0 = jax.device_get(trainer.restore_or_init()["params"])
+    state = trainer.fit(gen())
+    lines = [json.loads(l) for l in open(os.path.join(tmp_path, "metrics.jsonl"))]
+    tr = [l for l in lines if l["prefix"] == "tr"]
+    assert tr and np.isfinite(tr[-1]["diff"])
+    p1 = jax.device_get(state["params"])
+    u0, u1 = jax.tree.leaves(p0["unet"]), jax.tree.leaves(p1["unet"])
+    assert any(np.abs(a - b).max() > 0 for a, b in zip(u0, u1))
+    f0_, f1_ = jax.tree.leaves(p0["frozen"]), jax.tree.leaves(p1["frozen"])
+    assert all(np.abs(a - b).max() == 0 for a, b in zip(f0_, f1_))
