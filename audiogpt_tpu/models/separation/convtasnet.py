@@ -138,9 +138,15 @@ class ConvTasNet(nn.Module):
 
 
 def separate_streaming(model: ConvTasNet, params, wav: np.ndarray,
-                       segment_sec: float = 2.4, hop_sec: float = 0.8) -> np.ndarray:
+                       segment_sec: float = 2.4, hop_sec: float = 0.8,
+                       max_chunk_batch: int = 64) -> np.ndarray:
     """Overlap-add streaming (the reference tool's 2.4 s / 0.8 s contract,
-    audio-chatgpt.py:976-987) with triangular cross-fade."""
+    audio-chatgpt.py:976-987) with triangular cross-fade.
+
+    All overlap chunks run as ONE batched device call (padded to a dyadic
+    chunk-count bucket so long inputs reuse a handful of compilations) —
+    the reference streams chunk-by-chunk on GPU; per-chunk dispatch would
+    waste the TPU on overhead."""
     cfg = model.cfg
     sr = cfg.sample_rate
     seg = int(segment_sec * sr)
@@ -150,14 +156,31 @@ def separate_streaming(model: ConvTasNet, params, wav: np.ndarray,
         out = np.asarray(model.apply(params, jnp.asarray(wav[None])))[0]
         return out
     fn = jax.jit(lambda p, x: model.apply(p, x))
+
+    starts = list(range(0, t - seg + hop, hop))
+    chunks = np.zeros((len(starts), seg), np.float32)
+    for i, start in enumerate(starts):
+        end = min(start + seg, t)
+        chunks[i, : end - start] = wav[start:end]
+
+    # pad the chunk count to a power-of-two bucket (static batch shapes)
+    n = len(starts)
+    bucket = 1
+    while bucket < min(n, max_chunk_batch):
+        bucket *= 2
+    outs = []
+    for ofs in range(0, n, bucket):
+        block = chunks[ofs: ofs + bucket]
+        if block.shape[0] < bucket:
+            block = np.pad(block, ((0, bucket - block.shape[0]), (0, 0)))
+        outs.append(np.asarray(fn(params, jnp.asarray(block))))
+    out_chunks = np.concatenate(outs, axis=0)[:n]   # [N, n_src, seg]
+
     acc = np.zeros((cfg.n_src, t), np.float64)
     norm = np.zeros(t, np.float64)
     win = np.hanning(seg) + 1e-3
-    for start in range(0, t - seg + hop, hop):
+    for i, start in enumerate(starts):
         end = min(start + seg, t)
-        chunk = np.zeros(seg, np.float32)
-        chunk[: end - start] = wav[start:end]
-        out = np.asarray(fn(params, jnp.asarray(chunk[None])))[0]
-        acc[:, start:end] += out[:, : end - start] * win[: end - start]
+        acc[:, start:end] += out_chunks[i][:, : end - start] * win[: end - start]
         norm[start:end] += win[: end - start]
     return (acc / np.maximum(norm, 1e-8)).astype(np.float32)
