@@ -218,6 +218,15 @@ def flash_attention(
     tk = k.shape[1]
     scale = d ** -0.5
 
+    def _clamp(block, t):
+        # don't pad short sequences up to a huge block: shrink to the next
+        # 128-multiple ≥ t (128 = MXU tile)
+        need = ((t + 127) // 128) * 128
+        return max(128, min(block, need))
+
+    block_q = _clamp(block_q, tq)
+    block_k = _clamp(block_k, tk)
+
     def to_bh(x):
         return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], d)
 
