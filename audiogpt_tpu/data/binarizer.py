@@ -36,6 +36,10 @@ class BinarizeConfig:
     with_f0: bool = True
     with_f0cwt: bool = False
     with_wav: bool = False
+    #: store 256-d speaker + emotion embeddings from the built-in global
+    #: style encoder (the reference's emotion binarizer runs external
+    #: resemblyzer / emotion-encoder ckpts — data_gen/tts/emotion/)
+    with_style_embed: bool = False
     f0_fmin: float = 80.0
     f0_fmax: float = 750.0
     valid_fraction: float = 0.05
@@ -73,9 +77,22 @@ class TTSBinarizer:
     :func:`load_split`."""
 
     def __init__(self, cfg: BinarizeConfig | None = None,
-                 frontend: EnglishFrontend | None = None):
+                 frontend: EnglishFrontend | None = None,
+                 style_encoder=None, style_params=None):
         self.cfg = cfg or BinarizeConfig()
         self.frontend = frontend or EnglishFrontend()
+        self._style = None
+        if self.cfg.with_style_embed:
+            import jax
+            from audiogpt_tpu.models.tts.generspeech import GlobalStyleEncoder
+
+            enc = style_encoder or GlobalStyleEncoder()
+            if style_params is None:
+                style_params = enc.init(
+                    jax.random.PRNGKey(0),
+                    jnp.zeros((1, 16, self.cfg.mel.n_mels)))
+            fn = jax.jit(lambda p, m: enc.apply(p, m))
+            self._style = (fn, style_params)
 
     # -- vocab ---------------------------------------------------------------
     def build_vocabs(self, items: Iterable[Item]) -> tuple[TokenTextEncoder, dict]:
@@ -137,6 +154,11 @@ class TTSBinarizer:
             rec["mel2ph"] = mel2ph_from_durations(it.durations, mel.shape[0])
         if cfg.with_wav:
             rec["wav"] = wav
+        if self._style is not None:
+            fn, sp = self._style
+            spk_e, emo_e = fn(sp, jnp.asarray(mel[None]))
+            rec["spk_embed"] = np.asarray(spk_e)[0]
+            rec["emo_embed"] = np.asarray(emo_e)[0]
         return rec
 
     # -- driver --------------------------------------------------------------

@@ -9,9 +9,10 @@ from audiogpt_tpu.train.tasks.visinger import VISingerTask, VISingerTaskConfig
 from audiogpt_tpu.train.tasks.pe import PETask, PETaskConfig
 from audiogpt_tpu.train.tasks.generspeech import GenerSpeechTask, GenerSpeechTaskConfig
 from audiogpt_tpu.train.tasks.ldm import LDMTask, LDMTaskConfig
+from audiogpt_tpu.train.tasks.sed import SEDTask, SEDTaskConfig
 
 __all__ = ["FS2Task", "FS2TaskConfig", "DiffSingerTask", "DiffSingerTaskConfig",
            "VocoderGANTask", "VocoderGANTaskConfig", "AdvTTSTask",
            "AdvTTSTaskConfig", "VAETask", "VAETaskConfig", "VISingerTask",
            "VISingerTaskConfig", "PETask", "PETaskConfig",
-           "GenerSpeechTask", "GenerSpeechTaskConfig", "LDMTask", "LDMTaskConfig"]
+           "GenerSpeechTask", "GenerSpeechTaskConfig", "LDMTask", "LDMTaskConfig", "SEDTask", "SEDTaskConfig"]

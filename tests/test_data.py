@@ -231,3 +231,13 @@ def test_vocoder_collate_and_loader(tmp_path):
     assert b["mels"].shape == (4, 16, 80) and b["wav"].shape == (4, 16 * hop)
     # crops are wav/mel aligned in length
     assert np.isfinite(b["wav"]).all()
+
+
+def test_binarizer_style_embed(tmp_path):
+    out = str(tmp_path / "bin")
+    cfg = BinarizeConfig(with_f0=False, with_style_embed=True)
+    TTSBinarizer(cfg).binarize(_toy_items(4), out)
+    rec = load_split(out, "train")[0]
+    assert rec["spk_embed"].shape == (256,)
+    assert rec["emo_embed"].shape == (256,)
+    assert np.isfinite(rec["spk_embed"]).all()

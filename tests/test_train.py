@@ -418,3 +418,30 @@ def test_ldm_task_steps(tmp_path):
     assert any(np.abs(a - b).max() > 0 for a, b in zip(u0, u1))
     f0_, f1_ = jax.tree.leaves(p0["frozen"]), jax.tree.leaves(p1["frozen"])
     assert all(np.abs(a - b).max() == 0 for a, b in zip(f0_, f1_))
+
+
+def test_sed_task_step():
+    """AudioSet tagging recipe: mixup + clipwise BCE finite, grads flow."""
+    from audiogpt_tpu.models.caption.cnn14 import Cnn14Config
+    from audiogpt_tpu.models.sed.panns_sed import SEDConfig
+    from audiogpt_tpu.train.tasks import SEDTask, SEDTaskConfig
+
+    task = SEDTask(SEDTaskConfig(
+        model=SEDConfig(cnn14=Cnn14Config(channels=(8, 8, 16, 16, 32, 32)),
+                        classes_num=10),
+        optim=OptimConfig(schedule="constant", lr=1e-3)))
+    params = task.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    b, sr = 2, 32000
+    batch = {
+        "wav": rng.normal(size=(b, sr)).astype(np.float32) * 0.1,
+        "wav_len": np.full(b, sr, np.int32),
+        "target": (rng.random((b, 10)) < 0.2).astype(np.float32),
+        "weight": np.ones(b, np.float32),
+    }
+    loss, metrics = task.loss_fns["model"](params, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss)) and "clip_bce" in metrics
+    g = jax.grad(lambda p: task.loss_fns["model"](p, batch,
+                                                  jax.random.PRNGKey(1))[0]
+                 )(params)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in jax.tree.leaves(g))
