@@ -10,9 +10,12 @@ from audiogpt_tpu.train.tasks.pe import PETask, PETaskConfig
 from audiogpt_tpu.train.tasks.generspeech import GenerSpeechTask, GenerSpeechTaskConfig
 from audiogpt_tpu.train.tasks.ldm import LDMTask, LDMTaskConfig
 from audiogpt_tpu.train.tasks.sed import SEDTask, SEDTaskConfig
+from audiogpt_tpu.train.tasks.caption import CaptionTask, CaptionTaskConfig
+from audiogpt_tpu.train.tasks.separation import SeparationTask, SeparationTaskConfig
 
 __all__ = ["FS2Task", "FS2TaskConfig", "DiffSingerTask", "DiffSingerTaskConfig",
            "VocoderGANTask", "VocoderGANTaskConfig", "AdvTTSTask",
            "AdvTTSTaskConfig", "VAETask", "VAETaskConfig", "VISingerTask",
            "VISingerTaskConfig", "PETask", "PETaskConfig",
-           "GenerSpeechTask", "GenerSpeechTaskConfig", "LDMTask", "LDMTaskConfig", "SEDTask", "SEDTaskConfig"]
+           "GenerSpeechTask", "GenerSpeechTaskConfig", "LDMTask", "LDMTaskConfig", "SEDTask", "SEDTaskConfig", "CaptionTask", "CaptionTaskConfig",
+           "SeparationTask", "SeparationTaskConfig"]

@@ -445,3 +445,55 @@ def test_sed_task_step():
                                                   jax.random.PRNGKey(1))[0]
                  )(params)
     assert any(np.abs(np.asarray(l)).max() > 0 for l in jax.tree.leaves(g))
+
+
+def test_caption_task_step():
+    from audiogpt_tpu.models.caption.captioner import CaptionConfig
+    from audiogpt_tpu.models.caption.cnn14 import Cnn14Config
+    from audiogpt_tpu.train.tasks import CaptionTask, CaptionTaskConfig
+
+    task = CaptionTask(CaptionTaskConfig(
+        model=CaptionConfig(cnn14=Cnn14Config(channels=(8, 8, 16, 16, 32, 32)),
+                            rnn_hidden=16, vocab_size=30, emb_dim=16, nhead=2,
+                            nlayers=1, dim_feedforward=32, max_caption_len=8),
+        optim=OptimConfig(schedule="constant", lr=1e-3)))
+    params = task.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    b, sr, L = 2, 32000, 8
+    batch = {
+        "wav": rng.normal(size=(b, sr)).astype(np.float32) * 0.1,
+        "wav_len": np.full(b, sr, np.int32),
+        "tokens": rng.integers(1, 30, (b, L)).astype(np.int32),
+        "token_len": np.asarray([8, 5], np.int32),
+        "weight": np.ones(b, np.float32),
+    }
+    loss, metrics = task.loss_fns["model"](params, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss)) and 0 <= float(metrics["token_acc"]) <= 1
+
+
+def test_separation_task_pit():
+    from audiogpt_tpu.models.separation.convtasnet import ConvTasNetConfig
+    from audiogpt_tpu.train.tasks import SeparationTask, SeparationTaskConfig
+    from audiogpt_tpu.train.tasks.separation import pit_si_snr, si_snr
+
+    # si_snr sanity: perfect reconstruction → large positive dB
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 800)),
+                    jnp.float32)
+    assert float(si_snr(x, x).min()) > 50
+    # PIT picks the right permutation
+    ref = jnp.stack([x, 2 * x + 1], axis=1)          # [2, 2, 800]
+    est_swapped = ref[:, ::-1]
+    assert float(pit_si_snr(est_swapped, ref).min()) > 50
+
+    task = SeparationTask(SeparationTaskConfig(
+        model=ConvTasNetConfig(n_src=2, enc_dim=32, bottleneck=8, hidden=16,
+                               skip=8, n_blocks=2, n_repeats=1)))
+    params = task.init_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batch = {
+        "mix": rng.normal(size=(2, 8000)).astype(np.float32),
+        "sources": rng.normal(size=(2, 2, 8000)).astype(np.float32),
+        "weight": np.ones(2, np.float32),
+    }
+    loss, _ = task.loss_fns["model"](params, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
