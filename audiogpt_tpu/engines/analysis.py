@@ -81,10 +81,17 @@ class SEDEngine(Engine):
     name = "sed"
 
     def __init__(self, cfg: SEDConfig | None = None, params=None,
-                 rng_seed: int = 0, max_sec: float = 32.0):
+                 model=None, rng_seed: int = 0, max_sec: float = 32.0):
+        """``model`` overrides the backbone (e.g. ``PVTSED`` — the
+        reference's actual SoundDetection net); default is PANN-SED. Both
+        share the (wav, wav_len) → output-dict contract."""
         super().__init__()
-        self.cfg = cfg or SEDConfig()
-        self.model = SEDModel(self.cfg)
+        if model is not None:
+            self.model = model
+            self.cfg = model.cfg
+        else:
+            self.cfg = cfg or SEDConfig()
+            self.model = SEDModel(self.cfg)
         sr = self.cfg.sample_rate
         self.bucketer = Bucketer(Bucketer.ladder(sr * 2, int(sr * max_sec)))
         if params is None:

@@ -173,3 +173,44 @@ class TestConvTasNet:
         g = jax.grad(loss)(v)
         total = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
         assert np.isfinite(total) and total > 0
+
+
+class TestPVT:
+    """PVTv2 SED backbone (audio_infer/pytorch/models.py:141)."""
+
+    def _tiny(self):
+        from audiogpt_tpu.models.sed.pvt import PVTConfig, PVTSED
+
+        cfg = PVTConfig(classes_num=10, embed_dims=(8, 16, 16, 16),
+                        depths=(1, 1, 1, 1), num_heads=(1, 2, 2, 2),
+                        mlp_ratios=(2, 2, 2, 2), sr_ratios=(8, 4, 2, 1))
+        return PVTSED(cfg), cfg
+
+    def test_outputs(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        model, cfg = self._tiny()
+        wav = jax.random.normal(jax.random.PRNGKey(0), (1, 32000)) * 0.1
+        variables = model.init(jax.random.PRNGKey(1), wav,
+                               jnp.asarray([32000]))
+        out = model.apply(variables, wav, jnp.asarray([32000]))
+        frames = out["framewise_output"].shape[1]
+        # framewise spans the mel frame count; clipwise in (0, 1)
+        assert out["framewise_output"].shape == (1, frames, 10)
+        assert out["clipwise_output"].shape == (1, 10)
+        c = np.asarray(out["clipwise_output"])
+        assert (c > 0).all() and (c <= 1).all()
+
+    def test_engine_with_pvt_backbone(self):
+        import numpy as np
+        from audiogpt_tpu.engines.analysis import SEDEngine
+
+        model, cfg = self._tiny()
+        eng = SEDEngine(model=model, max_sec=2.0)
+        t = np.arange(32000) / 32000
+        wav = (0.2 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        events = eng.detect(wav, top_k=5)
+        assert len(events) == 5
+        assert all(np.isfinite(ev["peak"]) for ev in events)
