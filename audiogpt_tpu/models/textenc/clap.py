@@ -147,10 +147,21 @@ class CLAPScorer:
 
     def __init__(self, text_cfg: CLAPTextConfig | None = None,
                  text_params=None, audio_params=None, tokenizer=None,
-                 sample_rate: int = 32000, rng_seed: int = 0):
+                 sample_rate: int = 32000, audio_tower: str = "pann",
+                 rng_seed: int = 0):
+        """``audio_tower``: 'pann' (Cnn14) or 'htsat' (Swin-audio) — the two
+        towers the reference's open_clap factory selects between."""
         self.cfg = text_cfg or CLAPTextConfig()
         self.text = CLAPTextEncoder(self.cfg)
-        self.audio = CLAPAudioEncoder(self.cfg.d_proj)
+        if audio_tower == "htsat":
+            from audiogpt_tpu.models.textenc.htsat import (
+                HTSATAudioEncoder, HTSATConfig,
+            )
+
+            self.audio = HTSATAudioEncoder(
+                HTSATConfig(d_proj=self.cfg.d_proj))
+        else:
+            self.audio = CLAPAudioEncoder(self.cfg.d_proj)
         self.tokenizer = tokenizer or WordPieceTokenizer(
             vocab_size=self.cfg.bert.vocab_size)
         self.sample_rate = sample_rate

@@ -77,3 +77,57 @@ class TestWordPiece:
         tok = WordPieceTokenizer()
         ids, mask = tok.encode("anything goes", max_length=8)
         assert ids.shape == (8,) and ids[0] == 101 and mask[0] == 1
+
+
+class TestHTSAT:
+    """Swin-audio CLAP tower (open_clap/htsat.py)."""
+
+    def test_embedding_shape(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from audiogpt_tpu.models.textenc.htsat import (
+            HTSATAudioEncoder, HTSATConfig,
+        )
+
+        cfg = HTSATConfig(img_frames=64, embed_dim=8, depths=(1, 1),
+                          num_heads=(2, 2), window=4, d_proj=32)
+        model = HTSATAudioEncoder(cfg)
+        wav = jax.random.normal(jax.random.PRNGKey(0), (2, 32000)) * 0.1
+        params = model.init(jax.random.PRNGKey(1), wav)
+        z = model.apply(params, wav)
+        assert z.shape == (2, 32)
+        assert np.isfinite(np.asarray(z)).all()
+        # different audio → different embedding
+        wav2 = jax.random.normal(jax.random.PRNGKey(9), (2, 32000)) * 0.1
+        z2 = model.apply(params, wav2)
+        assert np.abs(np.asarray(z) - np.asarray(z2)).max() > 1e-5
+
+    def test_scorer_with_htsat(self):
+        import numpy as np
+        from audiogpt_tpu.models.textenc.bert import BertConfig
+        from audiogpt_tpu.models.textenc.clap import CLAPScorer, CLAPTextConfig
+
+        # tiny towers end-to-end through the scorer
+        from audiogpt_tpu.models.textenc import htsat as _h
+        import dataclasses as _dc
+
+        scorer = CLAPScorer.__new__(CLAPScorer)
+        # use the public constructor with a small text cfg; audio tower htsat
+        cfg = CLAPTextConfig(bert=BertConfig(vocab_size=200, hidden_size=16,
+                                             num_layers=1, num_heads=2,
+                                             intermediate_size=32), d_proj=32)
+        import audiogpt_tpu.models.textenc.htsat as hmod
+        orig = hmod.HTSATConfig
+        hmod.HTSATConfig = lambda d_proj: orig(
+            img_frames=64, embed_dim=8, depths=(1, 1), num_heads=(2, 2),
+            window=4, d_proj=d_proj)
+        try:
+            scorer = CLAPScorer(cfg, audio_tower="htsat", sample_rate=32000)
+        finally:
+            hmod.HTSATConfig = orig
+        wavs = np.random.default_rng(0).normal(size=(3, 32000)).astype(
+            np.float32) * 0.1
+        scores = scorer.score("a dog barking", wavs)
+        assert scores.shape == (3,) and np.isfinite(scores).all()
+        assert 0 <= scorer.select_best("a dog barking", wavs) < 3
