@@ -81,10 +81,17 @@ class SeparationEngine(Engine):
     name = "separation"
 
     def __init__(self, cfg: ConvTasNetConfig | None = None, params=None,
-                 rng_seed: int = 0):
+                 model=None, rng_seed: int = 0):
+        """``model`` overrides the separator net (e.g. ``SkiM`` — the
+        reference Speech_SS backbone); default Conv-TasNet. Both share the
+        mix [B, T] → [B, n_src, T] contract."""
         super().__init__()
-        self.cfg = cfg or ConvTasNetConfig()
-        self.model = ConvTasNet(self.cfg)
+        if model is not None:
+            self.model = model
+            self.cfg = model.cfg
+        else:
+            self.cfg = cfg or ConvTasNetConfig()
+            self.model = ConvTasNet(self.cfg)
         if params is None:
             params = self.model.init(jax.random.PRNGKey(rng_seed),
                                      jnp.zeros((1, self.cfg.sample_rate)))

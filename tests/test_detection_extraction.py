@@ -214,3 +214,46 @@ class TestPVT:
         events = eng.detect(wav, top_k=5)
         assert len(events) == 5
         assert all(np.isfinite(ev["peak"]) for ev in events)
+
+
+class TestSkiM:
+    """SkiM separator (Speech_SS backbone; segment + memory LSTMs)."""
+
+    def test_shapes_and_engine(self):
+        import jax
+        import numpy as np
+        from audiogpt_tpu.engines.transform import SeparationEngine
+        from audiogpt_tpu.models.separation.skim import SkiM, SkiMConfig
+
+        cfg = SkiMConfig(n_src=2, enc_dim=16, hidden=8, segment_size=10,
+                         n_blocks=2)
+        eng = SeparationEngine(model=SkiM(cfg))
+        t = np.arange(16000 * 3) / 16000
+        mix = (0.2 * np.sin(2 * np.pi * 300 * t)
+               + 0.2 * np.sin(2 * np.pi * 800 * t)).astype(np.float32)
+        stems = eng.separate(mix)
+        assert stems.shape == (2, len(mix))
+        assert np.isfinite(stems).all()
+
+    def test_pit_trains(self):
+        """A couple of SI-SNR+PIT steps run finite on SkiM."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from audiogpt_tpu.models.separation.skim import SkiM, SkiMConfig
+        from audiogpt_tpu.train.tasks.separation import pit_si_snr
+
+        cfg = SkiMConfig(n_src=2, enc_dim=16, hidden=8, segment_size=10,
+                         n_blocks=1)
+        model = SkiM(cfg)
+        rng = np.random.default_rng(0)
+        mix = jnp.asarray(rng.normal(size=(2, 4000)), jnp.float32)
+        srcs = jnp.asarray(rng.normal(size=(2, 2, 4000)), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), mix)
+
+        def loss(p):
+            return -pit_si_snr(model.apply(p, mix), srcs).mean()
+
+        l0, g = jax.value_and_grad(loss)(params)
+        assert np.isfinite(float(l0))
+        assert any(np.abs(np.asarray(x)).max() > 0 for x in jax.tree.leaves(g))
