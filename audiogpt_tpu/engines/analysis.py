@@ -62,17 +62,29 @@ class CaptionEngine(Engine):
             self.model, self.params, jnp.asarray(padded),
             jnp.asarray([n]))[0]
 
-    def caption(self, wav: np.ndarray) -> str:
-        toks = self.caption_tokens(wav)
+    def _decode_words(self, toks) -> str:
         words = []
         for t in toks[1:]:
             if t == self.cfg.eos_id:
                 break
-            if self.vocab and t < len(self.vocab):
-                words.append(self.vocab[t])
-            else:
-                words.append(f"<{t}>")
+            words.append(self.vocab[t] if self.vocab and t < len(self.vocab)
+                         else f"<{t}>")
         return " ".join(words)
+
+    def caption(self, wav: np.ndarray) -> str:
+        return self._decode_words(self.caption_tokens(wav))
+
+    def caption_beam(self, wav: np.ndarray, beam_size: int = 3) -> str:
+        """Beam-search caption (the reference A2T configs decode with beam,
+        ``base_model.py``)."""
+        from audiogpt_tpu.models.caption.captioner import caption_beam_decode
+
+        wav = np.asarray(wav, np.float32)
+        padded, n = self.bucketer.pad_to_bucket(wav[None], axis=-1)
+        toks = caption_beam_decode(self.model, self.params,
+                                   jnp.asarray(padded), jnp.asarray([n]),
+                                   beam_size=beam_size)[0]
+        return self._decode_words(toks)
 
 
 class SEDEngine(Engine):
@@ -220,23 +232,3 @@ class TSDEngine(Engine):
         filtered = median_filter(probs[:, None], window, threshold)[:, 0]
         fps = self.mel.sr / self.mel.hop
         return decode_timestamps(filtered, fps)
-
-
-def _caption_beam(self, wav: np.ndarray, beam_size: int = 3) -> str:
-    """Beam-search caption (reference A2T configs decode with beam)."""
-    from audiogpt_tpu.models.caption.captioner import caption_beam_decode
-
-    wav = np.asarray(wav, np.float32)
-    padded, n = self.bucketer.pad_to_bucket(wav[None], axis=-1)
-    toks = caption_beam_decode(self.model, self.params, jnp.asarray(padded),
-                               jnp.asarray([n]), beam_size=beam_size)[0]
-    words = []
-    for t in toks[1:]:
-        if t == self.cfg.eos_id:
-            break
-        words.append(self.vocab[t] if self.vocab and t < len(self.vocab)
-                     else f"<{t}>")
-    return " ".join(words)
-
-
-CaptionEngine.caption_beam = _caption_beam
