@@ -107,12 +107,15 @@ def build_toolset(engines: Mapping[str, Any], root: str = ".",
         def svs_fn(inputs: str) -> str:
             # reference falls back to a default song on any parse error
             # (audio-chatgpt.py:323-329) — same contract, explicit here
-            default = ("你 说 你 不 SP 懂 为 何 在 这 时 牵 手 AP",
-                       "D#4/Eb4 D#4/Eb4 D#4/Eb4 D#4/Eb4 rest D#4/Eb4 A#3/Bb3 "
-                       "D#4/Eb4 D#4/Eb4 D#4/Eb4 D#4/Eb4 D#4/Eb4 D#4/Eb4 rest",
-                       "0.113740 0.329060 0.287950 0.133480 0.150900 0.484730 "
-                       "0.242010 0.180820 0.343570 0.152050 0.266720 0.280310 "
-                       "0.633300 0.444590")
+            # toneless pinyin form of the reference default song
+            # (audio-chatgpt.py:323-329 falls back to the hardcoded score)
+            default = (
+                "ni shuo ni bu SP dong wei he zai zhe shi qian shou AP",
+                "D#4/Eb4 | D#4/Eb4 | D#4/Eb4 | D#4/Eb4 | rest | D#4/Eb4 | "
+                "D4 | D4 | D4 | D#4/Eb4 | F4 | D#4/Eb4 | D4 | rest",
+                "0.113740 | 0.329060 | 0.287950 | 0.133480 | 0.150900 | "
+                "0.484730 | 0.242010 | 0.180820 | 0.343570 | 0.152050 | "
+                "0.266720 | 0.280310 | 0.633300 | 0.444590")
             try:
                 text, notes, durs = [s.strip() for s in inputs.split(",", 2)]
                 if not (text and notes and durs):

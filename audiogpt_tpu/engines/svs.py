@@ -107,9 +107,13 @@ class SVSEngine(Engine):
     def parse_word_level(self, text: str, notes: str, notes_duration: str):
         words = [w for w in re.split(r"[\s]+", text.strip()) if w]
         ph_per_word = []
+        specials = {"SP": "<SP>", "AP": "<AP>", "rest": "rest"}
         for w in words:
             if w in self.pinyin2phs:
                 ph_per_word.append(self.pinyin2phs[w])
+            elif w in specials:
+                # breath/silence marks in opencpop scores (base_svs_infer)
+                ph_per_word.append(specials[w])
             else:
                 ph_per_word.append(" ".join(split_pinyin(w)))
         note_windows = [x.strip() for x in notes.split("|") if x.strip()]
