@@ -176,8 +176,24 @@ def main(argv=None):
         from audiogpt_tpu.agent.llm import ScriptedLLM
 
         llm = ScriptedLLM([])  # echo/demo mode: always answers directly
-    app = AppServer(llm, build_engines(args.engines),
-                    media_root=args.media_root)
+    engines = build_engines(args.engines)
+    asr_fn = tts_fn = None
+    if "asr" in engines:
+        from audiogpt_tpu.utils.audio_io import load_wav
+
+        def asr_fn(path):
+            wav, _ = load_wav(path, sr=16000)
+            return engines["asr"].transcribe(wav)
+    if "tts" in engines:
+        from audiogpt_tpu.agent.tools import new_media_path
+        from audiogpt_tpu.utils.audio_io import save_wav
+
+        def tts_fn(text):
+            out = new_media_path("audio", root=args.media_root)
+            save_wav(engines["tts"](text), out, engines["tts"].sample_rate)
+            return out
+    app = AppServer(llm, engines, media_root=args.media_root,
+                    asr=asr_fn, tts=tts_fn)
     httpd = make_server(app, args.host, args.port)
     print(f"| serving {sorted(app.engines)} on http://{args.host}:{args.port}")
     httpd.serve_forever()

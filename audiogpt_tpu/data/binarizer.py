@@ -35,6 +35,7 @@ class BinarizeConfig:
     mel: MelSpec = NEURALSEQ_MEL_22K
     with_f0: bool = True
     with_f0cwt: bool = False
+    with_energy: bool = False
     with_wav: bool = False
     #: store 256-d speaker + emotion embeddings from the built-in global
     #: style encoder (the reference's emotion binarizer runs external
@@ -150,6 +151,13 @@ class TTSBinarizer:
                 rec["cwt_spec"] = Wn.astype(np.float32)
                 rec["f0_mean"] = float(lf0[uv_ > 0].mean())
                 rec["f0_std"] = float(lf0[uv_ > 0].std())
+        if cfg.with_energy:
+            # frame energy = RMS of the linear-domain mel frame — the
+            # quantity FastSpeech2's energy adaptor consumes (fs2.py energy).
+            # our log-mel is log10-domain, so linear = 10**mel
+            rec["energy"] = np.sqrt(
+                ((10.0 ** mel.astype(np.float64)) ** 2).mean(-1)
+            ).astype(np.float32)
         if it.durations is not None:
             rec["mel2ph"] = mel2ph_from_durations(it.durations, mel.shape[0])
         if cfg.with_wav:

@@ -62,7 +62,7 @@ def collate_tts(samples: list[dict[str, Any]], spec: BucketSpec | None,
                                        np.int32)),
         "weight": pad_rows(np.ones(len(samples), np.float32)),
     }
-    for key in ("f0", "uv", "pitch", "mel2ph"):
+    for key in ("f0", "uv", "pitch", "mel2ph", "energy"):
         if key in samples[0]:
             dtype = np.int32 if key in ("pitch", "mel2ph") else np.float32
             batch[key] = pad_rows(collate_1d(

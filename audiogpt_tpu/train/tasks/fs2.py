@@ -28,7 +28,7 @@ class FS2TaskConfig:
     lambda_sent_dur: float = 1.0
     lambda_f0: float = 1.0
     lambda_uv: float = 1.0
-    lambda_energy: float = 0.1
+    lambda_energy: float = 0.1  # fs2 task add_energy_loss
     optim: OptimConfig = OptimConfig()
 
 
@@ -111,6 +111,9 @@ class FS2Task:
                 out["pitch_pred"], f0n, uv, batch["mel2ph"], w,
                 lambda_f0=cfg.lambda_f0, lambda_uv=cfg.lambda_uv,
                 use_uv=mcfg.use_uv))
+        if mcfg.use_energy_embed and "energy" in batch:
+            metrics["e"] = L.energy_loss(out["energy_pred"], batch["energy"],
+                                         lambda_energy=cfg.lambda_energy)
         total = sum(metrics.values())
         metrics["total_loss"] = total
         return total, metrics

@@ -241,3 +241,12 @@ def test_binarizer_style_embed(tmp_path):
     assert rec["spk_embed"].shape == (256,)
     assert rec["emo_embed"].shape == (256,)
     assert np.isfinite(rec["spk_embed"]).all()
+
+
+def test_binarizer_energy(tmp_path):
+    out = str(tmp_path / "bin")
+    cfg = BinarizeConfig(with_f0=False, with_energy=True)
+    TTSBinarizer(cfg).binarize(_toy_items(4), out)
+    rec = load_split(out, "train")[0]
+    assert rec["energy"].shape == (rec["mel"].shape[0],)
+    assert (rec["energy"] >= 0).all()
