@@ -80,17 +80,24 @@ def kaiser_sinc_filter1d(cutoff: float, half_width: float, kernel_size: int) -> 
 
 def _depthwise(x: jnp.ndarray, taps: np.ndarray, stride: int,
                pad: tuple[int, int], lhs_dilation: int = 1) -> jnp.ndarray:
-    """Depthwise 1-D filter on [B, T, C]."""
-    c = x.shape[-1]
-    k = jnp.tile(jnp.asarray(taps).reshape(-1, 1, 1), (1, 1, c))  # [W,1,C]
-    return jax.lax.conv_general_dilated(
-        x, k.astype(x.dtype),
+    """Depthwise 1-D FIR on [B, T, C], channels folded into the batch.
+
+    A grouped conv (feature_group_count=C) costs ~22 s of XLA:TPU compile
+    PER OP with lhs_dilation (BigVGAN has ~40 of them → >10 min compiles);
+    the batch-folded single-channel conv compiles 13× faster at ~1.4×
+    runtime — the right trade for a vocoder that compiles once per bucket.
+    """
+    b, t, c = x.shape
+    xr = x.transpose(0, 2, 1).reshape(b * c, t, 1)
+    k = jnp.asarray(taps).reshape(-1, 1, 1).astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        xr, k,
         window_strides=(stride,),
         padding=[pad],
         lhs_dilation=(lhs_dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
-        feature_group_count=c,
     )
+    return y.reshape(b, c, y.shape[1]).transpose(0, 2, 1)
 
 
 def upsample1d(x: jnp.ndarray, ratio: int = 2, kernel_size: int | None = None) -> jnp.ndarray:
