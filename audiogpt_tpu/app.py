@@ -162,7 +162,17 @@ def main(argv=None):
                     help="OpenAI-compatible endpoint; scripted echo otherwise")
     ap.add_argument("--llm-model", default="gpt-3.5-turbo")
     ap.add_argument("--llm-api-key", default=None)
+    ap.add_argument("--compile-cache", default=None, metavar="DIR",
+                    help="persistent XLA compilation cache (large models "
+                         "compile in minutes cold; cached startups are "
+                         "seconds)")
     args = ap.parse_args(argv)
+
+    if args.compile_cache:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from audiogpt_tpu.serving import AppServer, make_server
 
