@@ -162,6 +162,8 @@ def main(argv=None):
                     help="OpenAI-compatible endpoint; scripted echo otherwise")
     ap.add_argument("--llm-model", default="gpt-3.5-turbo")
     ap.add_argument("--llm-api-key", default=None)
+    ap.add_argument("--warmup", action="store_true",
+                    help="AOT-compile engine buckets before accepting traffic")
     ap.add_argument("--compile-cache", default=None, metavar="DIR",
                     help="persistent XLA compilation cache (large models "
                          "compile in minutes cold; cached startups are "
@@ -202,6 +204,11 @@ def main(argv=None):
             out = new_media_path("audio", root=args.media_root)
             save_wav(engines["tts"](text), out, engines["tts"].sample_rate)
             return out
+    if args.warmup:
+        for name, eng in engines.items():
+            if hasattr(eng, "warmup"):
+                print(f"| warmup: {name}", flush=True)
+                eng.warmup()
     app = AppServer(llm, engines, media_root=args.media_root,
                     asr=asr_fn, tts=tts_fn)
     httpd = make_server(app, args.host, args.port)

@@ -182,3 +182,37 @@ def test_speech_endpoint(tmp_path):
         assert code == 200 and len(wav_bytes) > 1000
     finally:
         httpd.shutdown()
+
+
+def test_concurrent_chat_requests(tmp_path):
+    """ThreadingHTTPServer + the agent lock must serialize tool turns without
+    dropping or interleaving conversations."""
+    import concurrent.futures
+    import threading
+
+    from audiogpt_tpu.agent.llm import ScriptedLLM
+    from audiogpt_tpu.serving import AppServer, make_server
+
+    llm = ScriptedLLM([
+        f"Thought: Do I need to use a tool? No\nAI: answer-{i}"
+        for i in range(8)
+    ])
+    app = AppServer(llm, {}, media_root=str(tmp_path))
+    httpd = make_server(app, port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        def ask(i):
+            code, body, _ = _req(
+                port, "/chat", json.dumps({"text": f"q{i}"}).encode(),
+                {"Content-Type": "application/json"})
+            return code, json.loads(body)["response"]
+
+        with concurrent.futures.ThreadPoolExecutor(8) as ex:
+            results = list(ex.map(ask, range(8)))
+        assert all(code == 200 for code, _ in results)
+        # every scripted answer delivered exactly once
+        answers = sorted(r for _, r in results)
+        assert answers == sorted(f"answer-{i}" for i in range(8))
+    finally:
+        httpd.shutdown()
