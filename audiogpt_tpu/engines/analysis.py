@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from audiogpt_tpu.registry import ENGINES
 from audiogpt_tpu.engines.base import Bucketer, Engine
 from audiogpt_tpu.models.caption.captioner import (
     CaptionConfig, CaptionModel, caption_greedy_decode,
@@ -34,6 +35,7 @@ from audiogpt_tpu.models.textenc.clap import WordPieceTokenizer
 from audiogpt_tpu.dsp.mel import MelSpec, PANNS_MEL_32K, log_mel
 
 
+@ENGINES.register("caption")
 class CaptionEngine(Engine):
     """wav (32 kHz) → caption string. ``vocab``: id → word list."""
 
@@ -87,6 +89,7 @@ class CaptionEngine(Engine):
         return self._decode_words(toks)
 
 
+@ENGINES.register("sed")
 class SEDEngine(Engine):
     """wav (32 kHz) → AudioSet framewise events (+ top-k event summary)."""
 
@@ -170,6 +173,7 @@ class SEDEngine(Engine):
         return out_path
 
 
+@ENGINES.register("tsd")
 class TSDEngine(Engine):
     """(wav, text query) → on/offset timestamps of the described sound.
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from audiogpt_tpu.registry import ENGINES
 from audiogpt_tpu.engines.base import Engine
 from audiogpt_tpu.models.asr import (
     WhisperConfig,
@@ -36,6 +37,7 @@ def pad_or_trim(wav: np.ndarray, n_samples: int) -> np.ndarray:
     return np.pad(wav, width)
 
 
+@ENGINES.register("asr")
 class ASREngine(Engine):
     name = "asr"
 

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from audiogpt_tpu.registry import ENGINES
 from audiogpt_tpu.engines.base import Engine
 from audiogpt_tpu.engines.t2a import T2AEngine
 from audiogpt_tpu.models.textenc.clip import (
@@ -23,6 +24,7 @@ from audiogpt_tpu.models.textenc.clip import (
 )
 
 
+@ENGINES.register("i2a")
 class I2AEngine(Engine):
     name = "i2a"
 

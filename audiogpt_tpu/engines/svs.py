@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from audiogpt_tpu.registry import ENGINES
 from audiogpt_tpu.engines.base import Bucketer, Engine
 from audiogpt_tpu.engines.vocoder import VocoderEngine
 from audiogpt_tpu.models.svs import DiffSinger, DiffSingerConfig
@@ -53,6 +54,7 @@ def _default_svs_vocab():
     return sorted(set(_INITIALS + finals + ["<AP>", "<SP>", "rest"]))
 
 
+@ENGINES.register("svs")
 class SVSEngine(Engine):
     name = "svs"
 
@@ -173,6 +175,7 @@ class SVSEngine(Engine):
         return self.vocoder(mel, f0=f0)
 
 
+@ENGINES.register("visinger")
 class VISingerEngine(Engine):
     """VITS-class end-to-end SVS (the reference's ``t2s_VISinger`` tool,
     audio-chatgpt.py:341 — an external ESPnet model there, native here).

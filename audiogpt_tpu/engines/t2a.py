@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from audiogpt_tpu.registry import ENGINES
 from audiogpt_tpu.engines.base import Engine
 from audiogpt_tpu.engines.vocoder import VocoderEngine
 from audiogpt_tpu.models.diffusion import (
@@ -63,6 +64,7 @@ class T2AConfig:
         return self.mel_bins // self.vae_factor, self.mel_len // self.vae_factor
 
 
+@ENGINES.register("t2a")
 class T2AEngine(Engine):
     name = "t2a"
 

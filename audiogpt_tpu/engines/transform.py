@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from audiogpt_tpu.registry import ENGINES
 from audiogpt_tpu.engines.base import Bucketer, Engine
 from audiogpt_tpu.models.binaural.binaural import (
     BinauralConfig, BinauralNetwork, binauralize_chunked,
@@ -27,6 +28,7 @@ from audiogpt_tpu.models.separation.convtasnet import (
 from audiogpt_tpu.dsp.stft import istft, stft
 
 
+@ENGINES.register("extraction")
 class ExtractionEngine(Engine):
     """(mixture wav, text query) → extracted source wav.
 
@@ -74,6 +76,7 @@ class ExtractionEngine(Engine):
         return np.asarray(out)
 
 
+@ENGINES.register("separation")
 class SeparationEngine(Engine):
     """Conv-TasNet enhancement (n_src=1) or separation (n_src=2), streamed
     with overlap-add (2.4 s / 0.8 s — the reference's ESPnet contract)."""
@@ -109,6 +112,7 @@ class SeparationEngine(Engine):
         return self.separate(wav)[0]
 
 
+@ENGINES.register("binaural")
 class BinauralEngine(Engine):
     """mono (48 kHz) + listener trajectory → stereo binaural.
 

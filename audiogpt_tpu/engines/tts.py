@@ -14,6 +14,7 @@ import dataclasses
 import jax
 import numpy as np
 
+from audiogpt_tpu.registry import ENGINES
 from audiogpt_tpu.engines.base import Bucketer, Engine
 from audiogpt_tpu.engines.vocoder import VocoderEngine
 from audiogpt_tpu.models.tts import FastSpeech2, FastSpeech2Config
@@ -22,6 +23,7 @@ from audiogpt_tpu.text import EnglishFrontend, TokenTextEncoder
 TOKEN_BUCKETS = (32, 64, 128, 256)
 
 
+@ENGINES.register("tts")
 class TTSEngine(Engine):
     name = "tts"
 

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from audiogpt_tpu.registry import ENGINES
 from audiogpt_tpu.engines.base import Bucketer, Engine
 from audiogpt_tpu.engines.vocoder import VocoderEngine
 from audiogpt_tpu.models.tts.generspeech import GenerSpeech, GenerSpeechConfig
@@ -24,6 +25,7 @@ from audiogpt_tpu.text.encoder import TokenTextEncoder
 from audiogpt_tpu.text.frontend import EnglishFrontend
 
 
+@ENGINES.register("tts_ood")
 class StyleTransferEngine(Engine):
     name = "tts_ood"
 

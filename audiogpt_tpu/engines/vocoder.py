@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from audiogpt_tpu.registry import ENGINES
 from audiogpt_tpu.engines.base import Bucketer, Engine
 from audiogpt_tpu.models.vocoder import (
     BigVGANConfig,
@@ -25,6 +26,7 @@ from audiogpt_tpu.models.vocoder import (
 DEFAULT_BUCKETS = (128, 256, 512, 1024, 2048)
 
 
+@ENGINES.register("vocoder")
 class VocoderEngine(Engine):
     name = "vocoder"
 
