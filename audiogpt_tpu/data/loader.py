@@ -46,6 +46,10 @@ def collate_tts(samples: list[dict[str, Any]], spec: BucketSpec | None,
     def pad_rows(x: np.ndarray) -> np.ndarray:
         if x.shape[0] == bsz:
             return x
+        if x.shape[0] > bsz:
+            raise ValueError(
+                f"batch of {x.shape[0]} exceeds the largest batch bucket "
+                f"{bsz}; raise BucketSpec.max_batch or cap max_sentences")
         pad = np.zeros((bsz - x.shape[0],) + x.shape[1:], x.dtype)
         return np.concatenate([x, pad], axis=0)
 
@@ -95,6 +99,10 @@ class TTSDataLoader:
         self.spec = spec
         self.n_mels = n_mels
         self.max_tokens = max_tokens
+        if spec is not None:
+            # a batch can never exceed the largest batch bucket — otherwise
+            # the static-shape pad would be negative
+            max_sentences = min(max_sentences, spec.batch_buckets[-1])
         self.max_sentences = max_sentences
         self.bsz_mult = required_batch_size_multiple
         self.shuffle = shuffle

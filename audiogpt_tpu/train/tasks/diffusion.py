@@ -68,6 +68,13 @@ class DiffSingerTask:
             fs2_kw["f0"] = norm_f0(f0, uv, mcfg.fs2)
             fs2_kw["uv"] = uv
 
+        if "mel2ph" not in batch:
+            # unaligned corpus → uniform fallback (same policy as FS2Task)
+            batch = dict(batch)
+            batch["mel2ph"] = L.uniform_mel2ph(
+                batch["txt_lengths"], batch["mel_lengths"],
+                batch["mels"].shape[1])
+
         fs2_out = self.model.apply(
             params["model"], batch["txt_tokens"], mel2ph=batch["mel2ph"],
             ref_mels=batch["mels"], **fs2_kw,
