@@ -68,6 +68,12 @@ class GenerSpeechTask:
         if uv is None and f0 is not None:
             uv = (f0 == 0).astype(f0.dtype)
         f0n = norm_f0(f0, uv, mcfg) if f0 is not None else None
+        if "mel2ph" not in batch:
+            # unaligned corpus → uniform fallback (same policy as FS2Task)
+            batch = dict(batch)
+            batch["mel2ph"] = L.uniform_mel2ph(
+                batch["txt_lengths"], batch["mel_lengths"],
+                batch["mels"].shape[1])
 
         out = self.model.apply(
             params["model"], batch["txt_tokens"], batch["mels"],
