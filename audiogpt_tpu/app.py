@@ -34,6 +34,23 @@ def _tts():
     return TTSEngine()
 
 
+@register_engine("tts_portaspeech")
+def _tts_portaspeech():
+    # PortaSpeech rebuild (the reference's intended TTS backbone, whose
+    # module is missing upstream); `tts` stays the FS2 default.
+    from audiogpt_tpu.engines.tts import PortaSpeechTTSEngine
+
+    return PortaSpeechTTSEngine()
+
+
+@register_engine("syntaspeech")
+def _syntaspeech():
+    from audiogpt_tpu.engines.tts import PortaSpeechTTSEngine
+    from audiogpt_tpu.models.tts import PortaSpeechConfig
+
+    return PortaSpeechTTSEngine(cfg=PortaSpeechConfig(use_graph=True))
+
+
 @register_engine("tts_ood")
 def _tts_ood():
     from audiogpt_tpu.engines.tts_ood import StyleTransferEngine

@@ -41,6 +41,13 @@ class BinarizeConfig:
     #: style encoder (the reference's emotion binarizer runs external
     #: resemblyzer / emotion-encoder ckpts — data_gen/tts/emotion/)
     with_style_embed: bool = False
+    #: store word-level fields (word_tokens/ph2word/mel2word) for
+    #: PortaSpeech-class word-duration models (reference: word_set.json +
+    #: ph2word in base_binarizer, tasks/tts/ps.py:21)
+    with_words: bool = False
+    #: additionally store the dense syntactic word graph [E, W, W] for
+    #: SyntaSpeech (reference: Sentence2GraphParser at binarize time)
+    with_graph: bool = False
     f0_fmin: float = 80.0
     f0_fmax: float = 750.0
     valid_fraction: float = 0.05
@@ -82,6 +89,7 @@ class TTSBinarizer:
                  style_encoder=None, style_params=None):
         self.cfg = cfg or BinarizeConfig()
         self.frontend = frontend or EnglishFrontend()
+        self._word_encoder: TokenTextEncoder | None = None
         self._style = None
         if self.cfg.with_style_embed:
             import jax
@@ -167,6 +175,27 @@ class TTSBinarizer:
             spk_e, emo_e = fn(sp, jnp.asarray(mel[None]))
             rec["spk_embed"] = np.asarray(spk_e)[0]
             rec["emo_embed"] = np.asarray(emo_e)[0]
+        if (cfg.with_words or cfg.with_graph) and it.text is not None \
+                and self._word_encoder is not None:
+            pt = self.frontend(it.text)
+            words = list(pt.words)
+            p2w = np.asarray(pt.ph2word, np.int32)
+            if pt.phones and pt.phones[0] == "<BOS>":
+                # the frontend maps <BOS>→word 0 and <EOS>→len(words)+1;
+                # make them real words (the reference's word lists carry
+                # <BOS>/<EOS> too, syntactic_graph_buider.py:33)
+                words = ["<BOS>"] + words + ["<EOS>"]
+                p2w = p2w + 1
+            rec["word_tokens"] = np.asarray(
+                self._word_encoder.encode(words), np.int32)
+            rec["ph2word"] = p2w[: len(tokens)]
+            if "mel2ph" in rec:
+                ph2w = np.concatenate([[0], rec["ph2word"]])  # 0 = padding
+                rec["mel2word"] = ph2w[rec["mel2ph"]].astype(np.int32)
+            if cfg.with_graph:
+                from audiogpt_tpu.text.syntax import build_word_graph
+
+                rec["graph_adj"] = build_word_graph(words)
         return rec
 
     # -- driver --------------------------------------------------------------
@@ -178,6 +207,13 @@ class TTSBinarizer:
         enc.save(os.path.join(out_dir, "phone_set.json"))
         with open(os.path.join(out_dir, "spk_map.json"), "w") as f:
             json.dump(spk_map, f)
+        if cfg.with_words or cfg.with_graph:
+            words: set[str] = {"<BOS>", "<EOS>"}
+            for it in items:
+                if it.text is not None:
+                    words.update(self.frontend(it.text).words)
+            self._word_encoder = TokenTextEncoder(sorted(words))
+            self._word_encoder.save(os.path.join(out_dir, "word_set.json"))
 
         n_test = cfg.test_items
         n_valid = max(1, int(len(items) * cfg.valid_fraction)) if len(items) > 1 else 0
@@ -218,3 +254,9 @@ def load_split(out_dir: str, split: str) -> RecordDataset:
 
 def load_phone_encoder(out_dir: str) -> TokenTextEncoder:
     return TokenTextEncoder.from_file(os.path.join(out_dir, "phone_set.json"))
+
+
+def load_word_encoder(out_dir: str) -> TokenTextEncoder:
+    """Word vocab written by ``with_words``/``with_graph`` binarization
+    (reference: ``word_set.json``, tasks/tts/ps.py:21)."""
+    return TokenTextEncoder.from_file(os.path.join(out_dir, "word_set.json"))

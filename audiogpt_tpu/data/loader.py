@@ -66,11 +66,32 @@ def collate_tts(samples: list[dict[str, Any]], spec: BucketSpec | None,
                                        np.int32)),
         "weight": pad_rows(np.ones(len(samples), np.float32)),
     }
-    for key in ("f0", "uv", "pitch", "mel2ph", "energy"):
+    for key in ("f0", "uv", "pitch", "mel2ph", "mel2word", "energy"):
         if key in samples[0]:
-            dtype = np.int32 if key in ("pitch", "mel2ph") else np.float32
+            dtype = np.int32 if key in ("pitch", "mel2ph", "mel2word") \
+                else np.float32
             batch[key] = pad_rows(collate_1d(
                 [np.asarray(s[key], dtype) for s in samples], max_len=mel_len))
+    if "word_tokens" in samples[0]:
+        # word-level fields for PortaSpeech-class models; word length gets
+        # its own (small) bucketed axis
+        word_len = max(len(s["word_tokens"]) for s in samples)
+        if spec is not None:
+            word_len = spec.round_len(word_len)
+        batch["word_tokens"] = pad_rows(collate_1d(
+            [s["word_tokens"] for s in samples], max_len=word_len))
+        batch["word_lengths"] = pad_rows(np.asarray(
+            [len(s["word_tokens"]) for s in samples], np.int32))
+        batch["ph2word"] = pad_rows(collate_1d(
+            [np.asarray(s["ph2word"], np.int32) for s in samples],
+            max_len=tok_len))
+        if "graph_adj" in samples[0]:
+            adjs = []
+            for s in samples:
+                a = np.asarray(s["graph_adj"], np.float32)
+                pad_w = word_len - a.shape[1]
+                adjs.append(np.pad(a, ((0, 0), (0, pad_w), (0, pad_w))))
+            batch["graph_adj"] = pad_rows(np.stack(adjs))
     if "cwt_spec" in samples[0]:
         batch["cwt_spec"] = pad_rows(collate_2d(
             [s["cwt_spec"] for s in samples], max_len=mel_len))

@@ -81,3 +81,108 @@ class TTSEngine(Engine):
     @property
     def sample_rate(self) -> int:
         return self.vocoder.cfg.sample_rate
+
+
+WORD_BUCKETS = (8, 16, 32, 64)
+
+
+@ENGINES.register("tts_portaspeech")
+class PortaSpeechTTSEngine(Engine):
+    """PortaSpeech / SyntaSpeech text→mel→wav.
+
+    The reference's TTS tool targets PortaSpeech (``audio-chatgpt.py:275``)
+    but its model package is missing upstream; this engine serves the
+    native rebuild (:mod:`audiogpt_tpu.models.tts.portaspeech`). With
+    ``cfg.use_graph`` the engine also builds the dense syntactic word graph
+    (SyntaSpeech). One jit program per (phone-bucket, word-bucket) pair.
+    """
+
+    name = "tts_portaspeech"
+
+    def __init__(
+        self,
+        cfg=None,
+        params=None,
+        vocoder: VocoderEngine | None = None,
+        frontend: EnglishFrontend | None = None,
+        phone_vocab: list[str] | None = None,
+        word_vocab: list[str] | None = None,
+        token_buckets=TOKEN_BUCKETS,
+        word_buckets=WORD_BUCKETS,
+        noise_scale: float = 0.8,
+        rng_seed: int = 0,
+    ):
+        super().__init__()
+        import jax.numpy as jnp
+
+        from audiogpt_tpu.models.tts import PortaSpeech, PortaSpeechConfig
+
+        if frontend is None:
+            if phone_vocab is None:
+                from audiogpt_tpu.text import default_arpabet_vocab
+
+                phone_vocab = default_arpabet_vocab()
+            frontend = EnglishFrontend(phone_encoder=TokenTextEncoder(phone_vocab))
+        self.frontend = frontend
+        # open-vocabulary fallback: unseen words hit <UNK> (reference:
+        # word_set.json built at binarize time, tasks/tts/ps.py:21)
+        self.word_encoder = TokenTextEncoder(word_vocab or ["<BOS>", "<EOS>"])
+        vocab_size = len(frontend.phone_encoder)
+        self.cfg = cfg or PortaSpeechConfig(
+            ph_vocab_size=vocab_size,
+            word_vocab_size=len(self.word_encoder), max_frames=1024)
+        if self.cfg.ph_vocab_size < vocab_size:
+            self.cfg = dataclasses.replace(self.cfg, ph_vocab_size=vocab_size)
+        self.model = PortaSpeech(self.cfg)
+        self.noise_scale = noise_scale
+        if params is None:
+            rng = jax.random.PRNGKey(rng_seed)
+            t, w = 16, 8
+            kw = {}
+            if self.cfg.use_graph:
+                kw["graph_adj"] = jnp.zeros((1, self.cfg.n_edge_types, w, w))
+            params = self.model.init(
+                rng, jnp.ones((1, t), jnp.int32), jnp.ones((1, w), jnp.int32),
+                jnp.ones((1, t), jnp.int32), infer=True, rng=rng, **kw)
+        self.params = params
+        self.vocoder = vocoder or VocoderEngine("hifigan")
+        self.ph_bucketer = Bucketer(token_buckets)
+        self.word_bucketer = Bucketer(word_buckets)
+        self._fn = jax.jit(
+            lambda p, toks, words, p2w, adj, rng: self.model.apply(
+                p, toks, words, p2w, graph_adj=adj, infer=True, rng=rng,
+                noise_scale=self.noise_scale)["mel_out"])
+        self._rng = jax.random.PRNGKey(rng_seed + 1)
+
+    def text_to_mel(self, text: str) -> np.ndarray:
+        pt = self.frontend(text)
+        words = list(pt.words)
+        p2w = np.asarray(pt.ph2word, np.int32)
+        if pt.phones and pt.phones[0] == "<BOS>":
+            words = ["<BOS>"] + words + ["<EOS>"]
+            p2w = p2w + 1
+        ids = np.asarray(self.frontend.phone_encoder.encode(pt.phones), np.int32)
+        wids = np.asarray(self.word_encoder.encode(words), np.int32)
+        ids, _ = self.ph_bucketer.pad_to_bucket(ids[None], axis=1)
+        p2w, _ = self.ph_bucketer.pad_to_bucket(p2w[None], axis=1)
+        wids, wlen = self.word_bucketer.pad_to_bucket(wids[None], axis=1)
+        if self.cfg.use_graph:
+            from audiogpt_tpu.text.syntax import build_word_graph
+
+            adj = build_word_graph(words, max_words=wids.shape[1])[None]
+        else:
+            adj = np.zeros(
+                (1, self.cfg.n_edge_types, wids.shape[1], wids.shape[1]),
+                np.float32)
+        self._rng, key = jax.random.split(self._rng)
+        mel = np.asarray(self._fn(self.params, ids, wids, p2w, adj, key))[0]
+        nz = np.nonzero(np.abs(mel).sum(-1) > 0)[0]
+        end = int(nz[-1]) + 1 if len(nz) else 1
+        return mel[:end]
+
+    def __call__(self, text: str) -> np.ndarray:
+        return self.vocoder(self.text_to_mel(text))
+
+    @property
+    def sample_rate(self) -> int:
+        return self.vocoder.cfg.sample_rate

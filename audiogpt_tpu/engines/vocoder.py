@@ -108,3 +108,19 @@ class VocoderEngine(Engine):
             wav = self._fn(self.params, jnp.asarray(padded))
         wav = np.asarray(wav)[:, : true_len * self.hop_size]
         return wav[0] if squeeze else wav
+
+
+def denoise(wav: np.ndarray, v: float = 0.1, n_fft: int = 1024,
+            hop: int = 256, win_length: int | None = None) -> np.ndarray:
+    """Spectral-magnitude-subtraction denoise for vocoder output
+    (``NeuralSeq/vocoders/vocoder_utils.py:7``: |S|−v floored at 0, mixture
+    phase kept, iSTFT) — jitted JAX instead of librosa on host."""
+    from audiogpt_tpu.dsp.stft import istft, stft
+
+    x = jnp.asarray(wav, jnp.float32)
+    spec = stft(x, n_fft, hop, win_length, pad_mode="constant")
+    mag = jnp.abs(spec)
+    mag = jnp.clip(mag - v, 0.0, None)
+    phase = jnp.where(mag > 0, spec / jnp.maximum(jnp.abs(spec), 1e-9), 0.0)
+    out = istft(mag * phase, n_fft, hop, win_length, length=x.shape[-1])
+    return np.asarray(out)

@@ -6,3 +6,7 @@ from audiogpt_tpu.models.tts.fastspeech2 import (  # noqa: F401
     norm_f0,
     denorm_f0,
 )
+from audiogpt_tpu.models.tts.portaspeech import (  # noqa: F401
+    PortaSpeech,
+    PortaSpeechConfig,
+)

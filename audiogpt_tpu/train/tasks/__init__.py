@@ -3,7 +3,8 @@
 from audiogpt_tpu.train.tasks.fs2 import FS2Task, FS2TaskConfig
 from audiogpt_tpu.train.tasks.diffusion import DiffSingerTask, DiffSingerTaskConfig
 from audiogpt_tpu.train.tasks.vocoder_gan import VocoderGANTask, VocoderGANTaskConfig
-from audiogpt_tpu.train.tasks.tts_adv import AdvTTSTask, AdvTTSTaskConfig
+from audiogpt_tpu.train.tasks.tts_adv import (AdvTTSTask, AdvTTSTaskConfig,
+    PortaSpeechAdvTask, PortaSpeechAdvTaskConfig)
 from audiogpt_tpu.train.tasks.vae import VAETask, VAETaskConfig
 from audiogpt_tpu.train.tasks.visinger import VISingerTask, VISingerTaskConfig
 from audiogpt_tpu.train.tasks.pe import PETask, PETaskConfig
@@ -12,10 +13,13 @@ from audiogpt_tpu.train.tasks.ldm import LDMTask, LDMTaskConfig
 from audiogpt_tpu.train.tasks.sed import SEDTask, SEDTaskConfig
 from audiogpt_tpu.train.tasks.caption import CaptionTask, CaptionTaskConfig
 from audiogpt_tpu.train.tasks.separation import SeparationTask, SeparationTaskConfig
+from audiogpt_tpu.train.tasks.portaspeech import PortaSpeechTask, PortaSpeechTaskConfig
 
 __all__ = ["FS2Task", "FS2TaskConfig", "DiffSingerTask", "DiffSingerTaskConfig",
            "VocoderGANTask", "VocoderGANTaskConfig", "AdvTTSTask",
            "AdvTTSTaskConfig", "VAETask", "VAETaskConfig", "VISingerTask",
            "VISingerTaskConfig", "PETask", "PETaskConfig",
            "GenerSpeechTask", "GenerSpeechTaskConfig", "LDMTask", "LDMTaskConfig", "SEDTask", "SEDTaskConfig", "CaptionTask", "CaptionTaskConfig",
-           "SeparationTask", "SeparationTaskConfig"]
+           "SeparationTask", "SeparationTaskConfig",
+           "PortaSpeechTask", "PortaSpeechTaskConfig",
+           "PortaSpeechAdvTask", "PortaSpeechAdvTaskConfig"]

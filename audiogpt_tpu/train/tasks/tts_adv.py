@@ -130,3 +130,79 @@ class AdvTTSTask:
 
     def val_loss_fn(self, params, batch, rng):
         return self.fs2_task._loss(params, batch, rng)
+
+
+# ---------------------------------------------------------------------------
+# PortaSpeech adversarial recipe — the reference's actual ps_adv task
+# (its shipped TTS checkpoint is `ps_adv_baseline`, audio-chatgpt.py:286)
+# ---------------------------------------------------------------------------
+
+from audiogpt_tpu.train.tasks.portaspeech import (  # noqa: E402
+    PortaSpeechTask, PortaSpeechTaskConfig,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class PortaSpeechAdvTaskConfig:
+    ps: PortaSpeechTaskConfig = PortaSpeechTaskConfig()
+    disc_windows: tuple = (32, 64, 128)
+    disc_hidden: int = 128
+    lambda_adv: float = 0.05            # ps_adv lambda_mel_adv
+    optim_disc: OptimConfig = OptimConfig(
+        optimizer="adamw", lr=2e-4, schedule="constant", beta1=0.5,
+        beta2=0.999, clip_grad_norm=1.0)
+
+
+class PortaSpeechAdvTask:
+    """ps_adv (NeuralSeq/tasks/tts/ps_adv.py): PortaSpeech FVAE generator +
+    LSGAN multi-window mel critic. Groups: 'disc' then 'model'."""
+
+    def __init__(self, cfg: PortaSpeechAdvTaskConfig):
+        self.cfg = cfg
+        self.ps_task = PortaSpeechTask(cfg.ps)
+        self.model = self.ps_task.model            # for engine export
+        self.disc = MultiWindowDiscriminator(cfg.disc_windows, cfg.disc_hidden)
+
+    def init_params(self, rng: jax.Array) -> dict:
+        k1, k2 = jax.random.split(rng)
+        params = self.ps_task.init_params(k1)
+        f = max(self.cfg.disc_windows) * 2
+        mel = jnp.zeros((1, f, self.cfg.ps.model.n_mels))
+        params["disc"] = self.disc.init(
+            k2, mel, jnp.full((1,), f, jnp.int32), jax.random.PRNGKey(0))
+        return params
+
+    def _model_loss(self, params, batch, rng):
+        total, metrics, out = self.ps_task.forward_and_losses(
+            params, batch, rng)
+        d_params = jax.lax.stop_gradient(params["disc"])
+        v = self.disc.apply(d_params, out["mel_out"],
+                            batch["mel_lengths"], rng)
+        adv = jnp.mean((v - 1.0) ** 2) * self.cfg.lambda_adv
+        metrics = dict(metrics)
+        metrics["adv"] = adv
+        total = total + adv
+        metrics["total_loss"] = total
+        return total, metrics
+
+    def _disc_loss(self, params, batch, rng):
+        _, _, out = self.ps_task.forward_and_losses(
+            jax.lax.stop_gradient({"model": params["model"]}), batch, rng)
+        mel_p = jax.lax.stop_gradient(out["mel_out"])
+        v_fake = self.disc.apply(params["disc"], mel_p,
+                                 batch["mel_lengths"], rng)
+        v_real = self.disc.apply(params["disc"], batch["mels"],
+                                 batch["mel_lengths"], rng)
+        loss = jnp.mean((v_real - 1.0) ** 2) + jnp.mean(v_fake ** 2)
+        return loss, {"d_loss": loss}
+
+    @property
+    def loss_fns(self) -> Mapping[str, object]:
+        return {"disc": self._disc_loss, "model": self._model_loss}
+
+    @property
+    def optim_cfgs(self) -> Mapping[str, OptimConfig]:
+        return {"disc": self.cfg.optim_disc, "model": self.cfg.ps.optim}
+
+    def val_loss_fn(self, params, batch, rng):
+        return self.ps_task._loss(params, batch, rng)

@@ -108,6 +108,10 @@ class Trainer:
 
         def step_fn(state, batch, rng):
             params = state["params"]
+            # expose the global step to step-dependent losses (KL ramps,
+            # posterior warmups) without a second jit argument
+            batch = dict(batch)
+            batch.setdefault("step", state["step"])
 
             def scoped(p_g):
                 p_all = dict(params)

@@ -81,6 +81,20 @@ def build_task(cfg: Config):
 
         return GenerSpeechTask(_fill(GenerSpeechTaskConfig, {
             "model": model, "optim": dataclasses.asdict(optim), **loss}))
+    if name in ("portaspeech", "syntaspeech", "ps_adv", "synta_adv"):
+        from audiogpt_tpu.train.tasks import (
+            PortaSpeechAdvTask, PortaSpeechAdvTaskConfig,
+            PortaSpeechTask, PortaSpeechTaskConfig,
+        )
+
+        if name in ("syntaspeech", "synta_adv"):
+            model.setdefault("use_graph", True)
+        ps_kw = {"model": model, "optim": dataclasses.asdict(optim), **loss}
+        if name in ("ps_adv", "synta_adv"):
+            adv = dict(cfg.get("adv", {}))
+            return PortaSpeechAdvTask(_fill(PortaSpeechAdvTaskConfig, {
+                "ps": ps_kw, **adv}))
+        return PortaSpeechTask(_fill(PortaSpeechTaskConfig, ps_kw))
     raise ValueError(f"unknown task {name!r}")
 
 

@@ -156,3 +156,23 @@ class TestPWGMelGAN:
         eng = VocoderEngine("pwg", cfg=cfg, buckets=(16,))
         wav = eng(np.zeros((10, 80), np.float32))
         assert wav.shape == (10 * cfg.hop_size,)
+
+
+def test_denoise_spectral_subtraction():
+    """vocoder_utils.denoise parity: magnitude subtraction preserves a loud
+    tone but attenuates low-level broadband noise."""
+    import numpy as np
+    from audiogpt_tpu.engines.vocoder import denoise
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    tone = 0.8 * np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    noise = np.random.default_rng(0).normal(size=sr).astype(np.float32) * 0.01
+    out = denoise(tone + noise, v=0.5)
+    assert out.shape == tone.shape and np.isfinite(out).all()
+    # tone survives
+    corr = np.corrcoef(out[1024:-1024], tone[1024:-1024])[0, 1]
+    assert corr > 0.98
+    # pure noise at the same level is crushed
+    out_n = denoise(noise, v=0.5)
+    assert np.abs(out_n).mean() < 0.2 * np.abs(noise).mean()
