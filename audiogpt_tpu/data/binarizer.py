@@ -48,6 +48,11 @@ class BinarizeConfig:
     #: additionally store the dense syntactic word graph [E, W, W] for
     #: SyntaSpeech (reference: Sentence2GraphParser at binarize time)
     with_graph: bool = False
+    #: ordered wav pre-processor names applied before mel/f0 extraction
+    #: (the reference's data_gen/tts/wav_processors stage; see
+    #: :mod:`audiogpt_tpu.data.wav_processors`). Input wavs are assumed to
+    #: already be at ``mel.sr`` unless 'resample' is included.
+    wav_processors: tuple = ()
     f0_fmin: float = 80.0
     f0_fmax: float = 750.0
     valid_fraction: float = 0.05
@@ -132,6 +137,13 @@ class TTSBinarizer:
         tokens = np.asarray(enc.encode(phones), np.int32)
 
         wav = np.asarray(it.wav, np.float32)
+        if cfg.wav_processors:
+            from audiogpt_tpu.data.wav_processors import apply_processors
+
+            wav, _sr = apply_processors(
+                cfg.wav_processors, wav, cfg.mel.sr,
+                options={"resample": {"target_sr": cfg.mel.sr}})
+            wav = np.asarray(wav, np.float32)
         mel = np.asarray(log_mel(jnp.asarray(wav), cfg.mel))  # [T, n_mels]
         rec: dict[str, Any] = {
             "item_name": it.name,

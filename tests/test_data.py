@@ -250,3 +250,66 @@ def test_binarizer_energy(tmp_path):
     rec = load_split(out, "train")[0]
     assert rec["energy"].shape == (rec["mel"].shape[0],)
     assert (rec["energy"] >= 0).all()
+
+
+def test_wav_processors_pipeline():
+    """wav_processors stage (reference data_gen/tts/wav_processors): trim,
+    loudness normalize, long-silence capping, resample — composed by name."""
+    import numpy as np
+    from audiogpt_tpu.data.wav_processors import (
+        WAV_PROCESSORS, apply_processors,
+    )
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    speech = rng.normal(size=sr).astype(np.float32) * 0.3
+    pad = np.zeros(sr, np.float32)
+    wav = np.concatenate([pad, speech, pad, pad, pad, speech, pad])
+
+    # edge trim removes leading/trailing silence
+    out, _ = apply_processors(["trim_sil"], wav, sr)
+    assert len(out) < len(wav)
+    assert np.abs(out[:2048]).max() > 0  # speech at the head now
+
+    # long internal silence capped: the 3 s gap shrinks
+    out2, _ = apply_processors(["trim_long_sil"], wav, sr)
+    assert len(out2) < len(wav) - sr  # dropped over a second of silence
+    # energy preserved (speech kept)
+    assert np.square(out2).sum() > 0.9 * np.square(wav).sum()
+
+    # loudness normalization hits the target active RMS within 3 dB
+    out3, _ = apply_processors(["loudness_norm"], speech * 0.01, sr)
+    db = 20 * np.log10(np.sqrt(np.mean(out3 ** 2)) + 1e-12)
+    assert -26.0 < db < -14.0
+
+    # resample halves the length
+    out4, sr4 = apply_processors(["resample"], wav, sr,
+                                 options={"resample": {"target_sr": 8000}})
+    assert sr4 == 8000 and abs(len(out4) - len(wav) // 2) < 10
+
+    # unknown name raises
+    import pytest
+    with pytest.raises(KeyError):
+        apply_processors(["nope"], wav, sr)
+    assert {"resample", "trim_sil", "loudness_norm",
+            "trim_long_sil"} <= set(WAV_PROCESSORS)
+
+
+def test_binarizer_wav_processors(tmp_path):
+    import numpy as np
+    from audiogpt_tpu.data import TTSBinarizer, load_split
+    from audiogpt_tpu.data.binarizer import BinarizeConfig, Item
+
+    sr = 22050
+    rng = np.random.default_rng(0)
+    speech = rng.normal(size=sr // 2).astype(np.float32) * 0.2
+    wav = np.concatenate([np.zeros(sr, np.float32), speech,
+                          np.zeros(sr, np.float32)])
+    items = [Item(name=f"u{i}", wav=wav, text="hello world") for i in range(4)]
+    cfg = BinarizeConfig(with_f0=False,
+                         wav_processors=("trim_sil", "loudness_norm"))
+    TTSBinarizer(cfg).binarize(items, str(tmp_path))
+    ds = load_split(str(tmp_path), "train")
+    rec = ds[0]
+    # trimmed: far fewer mel frames than the raw 2.5 s
+    assert rec["mel"].shape[0] < (len(wav) / 256) * 0.7
