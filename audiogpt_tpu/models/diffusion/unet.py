@@ -190,6 +190,11 @@ class UNetModel(nn.Module):
         emb = timestep_embedding(t, cfg.model_channels)
         emb = nn.Dense(ted, name="time_embed_0")(emb)
         emb = nn.Dense(ted, name="time_embed_2")(nn.silu(emb))
+        # keep the network in the input compute dtype (bf16 fast path):
+        # without this the f32 sinusoid embedding re-promotes every ResBlock
+        emb = emb.astype(x.dtype)
+        if context is not None:
+            context = context.astype(x.dtype)
 
         # rematerialization must go through flax's module-aware remat —
         # raw jax.checkpoint around a bound module leaks tracers via params

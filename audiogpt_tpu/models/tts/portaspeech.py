@@ -61,6 +61,10 @@ class PortaSpeechConfig:
     word_enc_layers: int = 4
     num_heads: int = 2
     enc_ffn_kernel_size: int = 5
+    #: 'rel_fft' = relative-window transformer (ps.yaml encoder_type /
+    #: word_encoder_type; ops/rel_attention.py); 'fft' = plain FFT blocks
+    encoder_type: str = "rel_fft"
+    rel_window: int = 4             # rel_transformer.py window_size default
     dur_predictor_layers: int = 3
     dur_predictor_kernel: int = 5
     n_mels: int = 80
@@ -363,16 +367,31 @@ class PortaSpeech(nn.Module):
         cfg = self.cfg
         d = cfg.hidden_size
         self.ph_embed = nn.Embed(cfg.ph_vocab_size, d, name="ph_embed")
-        self.encoder = FFTBlocks(d, cfg.enc_layers, cfg.num_heads,
-                                 cfg.enc_ffn_kernel_size, name="encoder")
         self.word_embed = nn.Embed(cfg.word_vocab_size, d, name="word_embed")
-        self.word_encoder = FFTBlocks(d, cfg.word_enc_layers, cfg.num_heads,
-                                      cfg.enc_ffn_kernel_size,
-                                      name="word_encoder")
-        self.ph2word_encoder = FFTBlocks(d, cfg.word_enc_layers, cfg.num_heads,
-                                         cfg.enc_ffn_kernel_size,
-                                         use_pos_embed=False,
-                                         name="ph2word_encoder")
+        if cfg.encoder_type == "rel_fft":
+            from audiogpt_tpu.ops.rel_attention import RelTransformerEncoder
+
+            def rel_enc(layers, name):
+                return RelTransformerEncoder(
+                    0, d, 4 * d, cfg.num_heads, layers,
+                    cfg.enc_ffn_kernel_size, cfg.rel_window, name=name)
+
+            self.encoder = rel_enc(cfg.enc_layers, "encoder")
+            self.word_encoder = rel_enc(cfg.word_enc_layers, "word_encoder")
+            self.ph2word_encoder = rel_enc(cfg.word_enc_layers,
+                                           "ph2word_encoder")
+        else:
+            self.encoder = FFTBlocks(d, cfg.enc_layers, cfg.num_heads,
+                                     cfg.enc_ffn_kernel_size, name="encoder")
+            self.word_encoder = FFTBlocks(d, cfg.word_enc_layers,
+                                          cfg.num_heads,
+                                          cfg.enc_ffn_kernel_size,
+                                          name="word_encoder")
+            self.ph2word_encoder = FFTBlocks(d, cfg.word_enc_layers,
+                                             cfg.num_heads,
+                                             cfg.enc_ffn_kernel_size,
+                                             use_pos_embed=False,
+                                             name="ph2word_encoder")
         self.sin_pos = ContinuousSinPos(d, name="sin_pos")
         self.enc_pos_proj = nn.Dense(d, name="enc_pos_proj")
         self.dec_res_proj = nn.Dense(d, name="dec_res_proj")

@@ -14,6 +14,7 @@ from audiogpt_tpu.train.tasks.sed import SEDTask, SEDTaskConfig
 from audiogpt_tpu.train.tasks.caption import CaptionTask, CaptionTaskConfig
 from audiogpt_tpu.train.tasks.separation import SeparationTask, SeparationTaskConfig
 from audiogpt_tpu.train.tasks.portaspeech import PortaSpeechTask, PortaSpeechTaskConfig
+from audiogpt_tpu.train.tasks.clap import CLAPTask, CLAPTaskConfig
 
 __all__ = ["FS2Task", "FS2TaskConfig", "DiffSingerTask", "DiffSingerTaskConfig",
            "VocoderGANTask", "VocoderGANTaskConfig", "AdvTTSTask",
@@ -22,4 +23,5 @@ __all__ = ["FS2Task", "FS2TaskConfig", "DiffSingerTask", "DiffSingerTaskConfig",
            "GenerSpeechTask", "GenerSpeechTaskConfig", "LDMTask", "LDMTaskConfig", "SEDTask", "SEDTaskConfig", "CaptionTask", "CaptionTaskConfig",
            "SeparationTask", "SeparationTaskConfig",
            "PortaSpeechTask", "PortaSpeechTaskConfig",
-           "PortaSpeechAdvTask", "PortaSpeechAdvTaskConfig"]
+           "PortaSpeechAdvTask", "PortaSpeechAdvTaskConfig",
+           "CLAPTask", "CLAPTaskConfig"]

