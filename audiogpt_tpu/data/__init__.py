@@ -11,8 +11,8 @@ from audiogpt_tpu.data.batching import (
     ordered_indices,
 )
 from audiogpt_tpu.data.binarizer import (
-    BinarizeConfig, Item, TTSBinarizer, load_phone_encoder, load_split,
-    mel2ph_from_durations,
+    BinarizeConfig, Item, SVSBinarizer, SVSItem, TTSBinarizer,
+    load_phone_encoder, load_split, load_word_encoder, mel2ph_from_durations,
 )
 from audiogpt_tpu.data.loader import (TTSDataLoader, VocoderDataLoader,
     collate_tts, collate_vocoder, prefetch)
@@ -21,7 +21,8 @@ from audiogpt_tpu.data.records import RecordDataset, RecordWriter
 __all__ = [
     "BucketSpec", "EndlessSampler", "batch_by_size", "collate_1d",
     "collate_2d", "ordered_indices", "BinarizeConfig", "Item",
-    "TTSBinarizer", "load_phone_encoder", "load_split",
+    "TTSBinarizer", "SVSBinarizer", "SVSItem", "load_phone_encoder",
+    "load_split", "load_word_encoder",
     "mel2ph_from_durations", "TTSDataLoader", "VocoderDataLoader", "collate_tts",
     "collate_vocoder", "prefetch",
     "RecordDataset", "RecordWriter",

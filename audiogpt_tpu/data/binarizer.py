@@ -268,6 +268,68 @@ def load_phone_encoder(out_dir: str) -> TokenTextEncoder:
     return TokenTextEncoder.from_file(os.path.join(out_dir, "phone_set.json"))
 
 
+@dataclasses.dataclass
+class SVSItem:
+    """One scored singing utterance (opencpop transcription format:
+    pinyin words, '|'-windowed note names and note durations in seconds)."""
+
+    name: str
+    wav: np.ndarray
+    text: str                  # pinyin words, e.g. "xiao jiu wo SP"
+    notes: str                 # "C#4/Db4 | F#4/Gb4 | rest"
+    notes_duration: str        # "0.407 | 0.376 | 0.2"
+    spk: str = "SPK1"
+
+
+class SVSBinarizer(TTSBinarizer):
+    """Score-annotated singing → records with the MIDI conditioning fields
+    DiffSinger-MIDI trains on (``pitch_midi``/``midi_dur``/``is_slur``,
+    consumed at ``tasks/svs/diffsinger_task.py:30`` and
+    ``modules/diffsinger_midi/fs2.py:46``). The reference ships NO SVS
+    binarizer at all — its tasks read pre-binarized opencpop shards whose
+    producer is absent from the tree; this closes the loop natively using
+    the same score grammar as inference (``base_svs_infer.py:72-140``)."""
+
+    def _phones_of(self, it) -> list[str]:
+        if not hasattr(it, "notes"):       # plain Item (internal re-entry)
+            return super()._phones_of(it)
+        from audiogpt_tpu.engines.svs import parse_score
+
+        return parse_score(it.text, it.notes, it.notes_duration)[0]
+
+    def process_item(self, it, enc: TokenTextEncoder,
+                     spk_map: Mapping[str, int]) -> dict[str, Any] | None:
+        from audiogpt_tpu.engines.svs import note_to_midi, parse_score
+
+        base = Item(name=it.name, wav=it.wav, phones=self._phones_of(it),
+                    spk=it.spk)
+        rec = super().process_item(base, enc, spk_map)
+        if rec is None:
+            return None
+        phs, notes, durs, slur, ph2word = parse_score(
+            it.text, it.notes, it.notes_duration)
+        rec["txt"] = it.text
+        rec["pitch_midi"] = np.asarray([note_to_midi(n) for n in notes],
+                                       np.int32)
+        rec["midi_dur"] = np.asarray([float(d) for d in durs], np.float32)
+        rec["is_slur"] = np.asarray(slur, np.int32)
+        rec["ph2word"] = np.asarray(ph2word, np.int32)
+        # frame alignment from the score: each word's base note duration is
+        # split evenly over its non-slur phones; slur repeats keep their own
+        # note duration (score time, not phone time — opencpop's separate
+        # phone-duration annotations would override this when available)
+        sec = np.asarray([float(d) for d in durs], np.float64)
+        w = np.asarray(ph2word)
+        base_cnt = np.zeros(w.max() + 1, np.int64)
+        s = np.asarray(slur)
+        np.add.at(base_cnt, w[s == 0], 1)
+        share = np.where(s == 0, sec / np.maximum(base_cnt[w], 1), sec)
+        frames = np.round(share * self.cfg.mel.sr /
+                          self.cfg.mel.hop).astype(np.int64)
+        rec["mel2ph"] = mel2ph_from_durations(frames, rec["mel"].shape[0])
+        return rec
+
+
 def load_word_encoder(out_dir: str) -> TokenTextEncoder:
     """Word vocab written by ``with_words``/``with_graph`` binarization
     (reference: ``word_set.json``, tasks/tts/ps.py:21)."""

@@ -72,6 +72,13 @@ def collate_tts(samples: list[dict[str, Any]], spec: BucketSpec | None,
                 else np.float32
             batch[key] = pad_rows(collate_1d(
                 [np.asarray(s[key], dtype) for s in samples], max_len=mel_len))
+    for key in ("pitch_midi", "midi_dur", "is_slur"):
+        # token-level SVS score fields (diffsinger_task.py batch schema)
+        if key in samples[0]:
+            dtype = np.float32 if key == "midi_dur" else np.int32
+            batch[key] = pad_rows(collate_1d(
+                [np.asarray(s[key], dtype) for s in samples],
+                max_len=tok_len))
     if "word_tokens" in samples[0]:
         # word-level fields for PortaSpeech-class models; word length gets
         # its own (small) bucketed axis

@@ -124,6 +124,10 @@ PANNS_MEL_32K = MelSpec(32000, 1024, 320, 1024, 64, 50.0, 14000.0,
 CAPTION_MEL_32K = PANNS_MEL_32K
 NEURALSEQ_MEL_22K = MelSpec(22050, 1024, 256, 1024, 80, 80.0, 7600.0,
                             power=1.0, pad_mode="constant", log="log10", amin=1e-5)
+# opencpop SVS frontend (egs/egs_bases/svs/midi/e2e/opencpop/ds1000.yaml:
+# sr 24k, fft/win 512, hop 128, 80 mels, 30-12000 Hz)
+NEURALSEQ_MEL_24K = MelSpec(24000, 512, 128, 512, 80, 30.0, 12000.0,
+                            power=1.0, pad_mode="constant", log="log10", amin=1e-5)
 WHISPER_MEL_16K = MelSpec(16000, 400, 160, 400, 80, 0.0, 8000.0,
                           power=2.0, pad_mode="reflect", log="log10", amin=1e-10)
 

@@ -54,6 +54,51 @@ def _default_svs_vocab():
     return sorted(set(_INITIALS + finals + ["<AP>", "<SP>", "rest"]))
 
 
+def parse_score(text: str, notes: str, notes_duration: str,
+                pinyin2phs: dict[str, str] | None = None):
+    """Word-level opencpop score → per-phone (phones, notes, durations,
+    slur flags) (``base_svs_infer.py:72-140``): pinyin syllables split to
+    initials/finals, '|'-windowed notes/durs aligned per word, extra notes
+    in a window repeat the final phone with slur=1. Shared by the SVS
+    engine and the SVS binarizer."""
+    pinyin2phs = pinyin2phs or {}
+    words = [w for w in re.split(r"[\s]+", text.strip()) if w]
+    ph_per_word = []
+    specials = {"SP": "<SP>", "AP": "<AP>", "rest": "rest"}
+    for w in words:
+        if w in pinyin2phs:
+            ph_per_word.append(pinyin2phs[w])
+        elif w in specials:
+            # breath/silence marks in opencpop scores (base_svs_infer)
+            ph_per_word.append(specials[w])
+        else:
+            ph_per_word.append(" ".join(split_pinyin(w)))
+    note_windows = [x.strip() for x in notes.split("|") if x.strip()]
+    dur_windows = [x.strip() for x in notes_duration.split("|") if x.strip()]
+    if not (len(note_windows) == len(ph_per_word) == len(dur_windows)):
+        raise ValueError(
+            f"word/note/duration window counts differ: "
+            f"{len(ph_per_word)}/{len(note_windows)}/{len(dur_windows)}")
+    phs, note_lst, dur_lst, slur, ph2word = [], [], [], [], []
+    for i, word_phs in enumerate(ph_per_word):
+        wp = word_phs.split()
+        wn = note_windows[i].split()
+        wd = dur_windows[i].split()
+        for p in wp:
+            phs.append(p)
+            note_lst.append(wn[0])
+            dur_lst.append(wd[0])
+            slur.append(0)
+            ph2word.append(i + 1)
+        for j in range(1, len(wn)):  # slur: repeat the final
+            phs.append(wp[-1])
+            note_lst.append(wn[j])
+            dur_lst.append(wd[j])
+            slur.append(1)
+            ph2word.append(i + 1)
+    return phs, note_lst, dur_lst, slur, ph2word
+
+
 @ENGINES.register("svs")
 class SVSEngine(Engine):
     name = "svs"
@@ -107,39 +152,7 @@ class SVSEngine(Engine):
 
     # -- score parsing ------------------------------------------------------
     def parse_word_level(self, text: str, notes: str, notes_duration: str):
-        words = [w for w in re.split(r"[\s]+", text.strip()) if w]
-        ph_per_word = []
-        specials = {"SP": "<SP>", "AP": "<AP>", "rest": "rest"}
-        for w in words:
-            if w in self.pinyin2phs:
-                ph_per_word.append(self.pinyin2phs[w])
-            elif w in specials:
-                # breath/silence marks in opencpop scores (base_svs_infer)
-                ph_per_word.append(specials[w])
-            else:
-                ph_per_word.append(" ".join(split_pinyin(w)))
-        note_windows = [x.strip() for x in notes.split("|") if x.strip()]
-        dur_windows = [x.strip() for x in notes_duration.split("|") if x.strip()]
-        if not (len(note_windows) == len(ph_per_word) == len(dur_windows)):
-            raise ValueError(
-                f"word/note/duration window counts differ: "
-                f"{len(ph_per_word)}/{len(note_windows)}/{len(dur_windows)}")
-        phs, note_lst, dur_lst, slur = [], [], [], []
-        for i, word_phs in enumerate(ph_per_word):
-            wp = word_phs.split()
-            wn = note_windows[i].split()
-            wd = dur_windows[i].split()
-            for p in wp:
-                phs.append(p)
-                note_lst.append(wn[0])
-                dur_lst.append(wd[0])
-                slur.append(0)
-            for j in range(1, len(wn)):  # slur: repeat the final
-                phs.append(wp[-1])
-                note_lst.append(wn[j])
-                dur_lst.append(wd[j])
-                slur.append(1)
-        return phs, note_lst, dur_lst, slur
+        return parse_score(text, notes, notes_duration, self.pinyin2phs)[:4]
 
     # -- synthesis ----------------------------------------------------------
     def synthesize(self, text: str, notes: str, notes_duration: str) -> np.ndarray:

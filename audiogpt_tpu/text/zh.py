@@ -232,3 +232,53 @@ class ZhFrontend:
         if phones and phones[-1] == "|":
             phones.pop()
         return phones
+
+
+class ZhTTSFrontend(ZhFrontend):
+    """Binarizer-compatible Chinese frontend: callable → ``ProcessedText``
+    (the reference's zh txt processor emits char-level words with ``|``
+    boundaries — ``data_gen/tts/txt_processors/zh.py``). Words are hanzi
+    characters / pinyin syllables / punctuation; phones carry the ``|``
+    word-boundary markers exactly like the English frontend so
+    ``TTSBinarizer`` (and the word-level PortaSpeech fields) work unchanged.
+    """
+
+    def __init__(self, lexicon: PinyinLexicon | None = None,
+                 phone_encoder=None):
+        super().__init__(lexicon)
+        self.phone_encoder = phone_encoder
+
+    def __call__(self, text: str):
+        from audiogpt_tpu.text.frontend import ProcessedText
+
+        norm = normalize_zh(text)
+        words: list[str] = []
+        word_phs: list[list[str]] = []
+        for token in re.findall(r"[a-zA-Z]+\d?|.", norm):
+            if re.fullmatch(r"[a-zA-Z]+\d?", token):
+                words.append(token)
+                word_phs.append(split_pinyin(token))
+            elif token in self.PUNCS:
+                p = token if token in "!,.?;:" else \
+                    {"、": ",", "。": ".", "！": "!", "，": ",",
+                     "？": "?", "；": ";", "：": ":"}[token]
+                words.append(p)
+                word_phs.append([p])
+            elif token.strip() == "":
+                continue
+            else:
+                py = self.lexicon(token)
+                words.append(token)
+                word_phs.append(split_pinyin(py) if py else ["<UNK>"])
+        phones: list[str] = []
+        ph2word: list[int] = []
+        for wi, phs in enumerate(word_phs, start=1):
+            for p in phs:
+                phones.append(p)
+                ph2word.append(wi)
+            phones.append("|")
+            ph2word.append(wi)
+        if phones and phones[-1] == "|":
+            phones = phones[:-1]
+            ph2word = ph2word[:-1]
+        return ProcessedText(norm, words, phones, ph2word)

@@ -313,3 +313,78 @@ def test_binarizer_wav_processors(tmp_path):
     rec = ds[0]
     # trimmed: far fewer mel frames than the raw 2.5 s
     assert rec["mel"].shape[0] < (len(wav) / 256) * 0.7
+
+
+def test_svs_binarizer_to_diffsinger_step(tmp_path):
+    """SVS score binarization (absent from the reference tree) feeding the
+    DiffSinger-MIDI recipe end-to-end: opencpop-style scored items →
+    records with pitch_midi/midi_dur/is_slur → collated batch → one
+    finite train step with MIDI conditioning."""
+    import jax
+    import numpy as np
+    from audiogpt_tpu.data import SVSBinarizer, SVSItem, load_split
+    from audiogpt_tpu.data.binarizer import BinarizeConfig, load_phone_encoder
+    from audiogpt_tpu.data.loader import collate_tts
+
+    sr = 24000
+    rng = np.random.default_rng(0)
+    scores = [
+        ("xiao jiu wo", "C#4/Db4 | F#4/Gb4 | G#4/Ab4",
+         "0.4071 | 0.3761 | 0.2421"),
+        ("ni hao SP", "A4 | B4 | rest", "0.3 | 0.3 | 0.1"),
+    ] * 4
+    items = [SVSItem(name=f"s{i}", wav=rng.normal(size=sr // 3
+                                                  ).astype(np.float32) * 0.1,
+                     text=t, notes=n, notes_duration=d)
+             for i, (t, n, d) in enumerate(scores)]
+    from audiogpt_tpu.dsp.mel import NEURALSEQ_MEL_24K
+
+    cfg = BinarizeConfig(mel=NEURALSEQ_MEL_24K, with_f0=True)
+    counts = SVSBinarizer(cfg).binarize(items, str(tmp_path))
+    assert counts["train"] >= 4
+    ds = load_split(str(tmp_path), "train")
+    rec = ds[0]
+    assert len(rec["pitch_midi"]) == len(rec["tokens"])
+    assert len(rec["midi_dur"]) == len(rec["tokens"])
+    assert rec["is_slur"].max() <= 1
+    assert rec["pitch_midi"].max() > 40       # real notes present
+    enc = load_phone_encoder(str(tmp_path))
+    assert len(enc) > 6
+
+    batch = collate_tts([ds[i % len(ds)] for i in range(8)], None, 80)
+    assert batch["pitch_midi"].shape == batch["txt_tokens"].shape
+    assert batch["midi_dur"].dtype == np.float32
+
+    # one DiffSinger-MIDI train step on the real batch
+    from audiogpt_tpu.models.svs.diffsinger import (
+        DiffNetConfig, DiffSingerConfig,
+    )
+    from audiogpt_tpu.models.tts.fastspeech2 import FastSpeech2Config
+    from audiogpt_tpu.train import Trainer, TrainerConfig
+    from audiogpt_tpu.train.optim import OptimConfig
+    from audiogpt_tpu.train.tasks import DiffSingerTask, DiffSingerTaskConfig
+
+    mcfg = DiffSingerConfig(
+        fs2=FastSpeech2Config(vocab_size=len(enc), hidden_size=16,
+                              enc_layers=1, dec_layers=1, num_heads=2,
+                              enc_ffn_kernel_size=3, dec_ffn_kernel_size=3,
+                              n_mels=80, dur_predictor_layers=1,
+                              predictor_layers=1, predictor_hidden=8,
+                              use_midi=True, rel_pos=True,
+                              use_pitch_embed=False, max_frames=256),
+        net=DiffNetConfig(residual_layers=2, residual_channels=8,
+                          encoder_hidden=16, mel_bins=80),
+        timesteps=10, K_step=10,
+        spec_min=(-6.0,) * 80, spec_max=(1.5,) * 80)
+    task = DiffSingerTask(DiffSingerTaskConfig(
+        model=mcfg, optim=OptimConfig(schedule="constant", lr=1e-3)))
+    tcfg = TrainerConfig(work_dir=str(tmp_path / "exp"), max_updates=2,
+                         val_check_interval=100, log_interval=1,
+                         num_sanity_val_steps=0, use_tensorboard=False)
+
+    def gen():
+        while True:
+            yield batch
+
+    state = Trainer(task, tcfg).fit(gen())
+    assert int(jax.device_get(state["step"])) == 2

@@ -65,3 +65,30 @@ class TestFrontend:
     def test_unknown_char(self):
         fe = ZhFrontend()
         assert "<UNK>" in fe("你魃")
+
+
+def test_zh_tts_frontend_binarizes(tmp_path):
+    """ZhTTSFrontend plugs into the TTSBinarizer unchanged: hanzi corpus →
+    records with tokens / word fields."""
+    import numpy as np
+    from audiogpt_tpu.data import TTSBinarizer, load_split
+    from audiogpt_tpu.data.binarizer import BinarizeConfig, Item
+    from audiogpt_tpu.text.zh import ZhTTSFrontend
+
+    fe = ZhTTSFrontend()
+    pt = fe("你好，世界123")
+    assert pt.words and len(pt.ph2word) == len(pt.phones)
+    assert max(pt.ph2word) == len(pt.words)
+    assert "|" in pt.phones
+
+    rng = np.random.default_rng(0)
+    items = [Item(name=f"z{i}", wav=rng.normal(size=11025).astype(np.float32) * 0.1,
+                  text=t)
+             for i, t in enumerate(["你好世界", "今天天气好", "我们走吧",
+                                    "谢谢你们"] * 2)]
+    cfg = BinarizeConfig(with_f0=False, with_words=True)
+    counts = TTSBinarizer(cfg, frontend=fe).binarize(items, str(tmp_path))
+    assert counts["train"] >= 4
+    rec = load_split(str(tmp_path), "train")[0]
+    assert len(rec["tokens"]) == len(rec["ph2word"])
+    assert "word_tokens" in rec
