@@ -81,6 +81,41 @@ class MetricsLogger:
             for k, v in scalars.items():
                 self._tb.add_scalar(f"{prefix}/{k}", v, step)
 
+    def log_mel_figure(self, step: int, name: str, mel: np.ndarray,
+                       gt: np.ndarray | None = None):
+        """Validation mel plot (``save_valid_result`` →
+        ``utils/plot.spec_to_figure`` in the reference): PNG under
+        ``work_dir/figures/`` and, when available, a TensorBoard figure.
+        ``mel``/``gt``: [frames, n_mels]."""
+        if not self.is_main:
+            return
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        mel = np.asarray(mel)
+        if gt is not None:
+            gt = np.asarray(gt)
+            vmin = min(mel.min(), gt.min())
+            gap = np.full((2, mel.shape[1]), vmin)
+            # gt on top, prediction below — the reference stacks them in one
+            # image with a shared color scale
+            data = np.concatenate([gt, gap, mel], axis=0)
+        else:
+            data = mel
+        fig = plt.figure(figsize=(12, 6))
+        plt.imshow(data.T, origin="lower", aspect="auto", interpolation="none")
+        plt.colorbar()
+        plt.title(f"{name} @ {step}" + (" (top: gt, bottom: pred)"
+                                        if gt is not None else ""))
+        fig_dir = os.path.join(self.work_dir, "figures")
+        os.makedirs(fig_dir, exist_ok=True)
+        fig.savefig(os.path.join(fig_dir, f"{name}_{step}.png"), dpi=80)
+        if self._tb is not None:
+            self._tb.add_figure(f"val/{name}", fig, step)
+        plt.close(fig)
+
     def close(self):
         if self._f:
             self._f.close()

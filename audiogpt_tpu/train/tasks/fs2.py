@@ -118,6 +118,31 @@ class FS2Task:
         metrics["total_loss"] = total
         return total, metrics
 
+    def visualize(self, params, batch, rng):
+        """First validation item's gt/pred mel for figure logging
+        (``FastSpeech2Task.save_valid_result`` parity)."""
+        import jax.numpy as jnp
+
+        mel2ph = batch.get("mel2ph")
+        if mel2ph is None:
+            mel2ph = L.uniform_mel2ph(batch["txt_lengths"],
+                                      batch["mel_lengths"],
+                                      batch["mels"].shape[1])
+        f0 = batch.get("f0")
+        uv = batch.get("uv")
+        if uv is None and f0 is not None:
+            uv = (f0 == 0).astype(f0.dtype)
+        out = self.model.apply(
+            params["model"], batch["txt_tokens"], mel2ph=mel2ph,
+            f0=norm_f0(f0, uv, self.cfg.model) if f0 is not None else None,
+            uv=uv, infer=False)
+        if "mel_lengths" in batch:
+            n = int(jnp.asarray(batch["mel_lengths"])[0])
+        else:
+            n = int((jnp.abs(batch["mels"][0]).sum(-1) > 0).sum())
+        n = max(n, 1)
+        return {"mel_0": (out["mel_out"][0, :n], batch["mels"][0, :n])}
+
     @property
     def loss_fns(self) -> Mapping[str, object]:
         return {"model": self._loss}

@@ -118,6 +118,17 @@ class PortaSpeechTask:
         metrics["total_loss"] = total
         return total, metrics, out
 
+    def visualize(self, params, batch, rng):
+        """First validation item's gt/pred mel (PortaSpeechTask
+        save_valid_result parity)."""
+        _, _, out = self.forward_and_losses(params, batch, rng)
+        if "mel_lengths" in batch:
+            n = int(jnp.asarray(batch["mel_lengths"])[0])
+        else:
+            n = int((jnp.abs(batch["mels"][0]).sum(-1) > 0).sum())
+        n = max(n, 1)
+        return {"mel_0": (out["mel_out"][0, :n], batch["mels"][0, :n])}
+
     @property
     def loss_fns(self) -> Mapping[str, object]:
         return {"model": self._loss}

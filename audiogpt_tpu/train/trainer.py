@@ -171,10 +171,13 @@ class Trainer:
             self._val_step = self._make_val_step()
         bank = MeterBank()
         rng = jax.random.PRNGKey(0)
+        first_batch = None
         for i, batch in enumerate(val_batches):
             if max_batches is not None and i >= max_batches:
                 break
             batch = shard_batch(batch, self.mesh)
+            if first_batch is None:
+                first_batch = batch
             metrics = self._val_step(state["params"], batch, rng)
             n = int(np.asarray(batch["weight"]).sum()) if "weight" in batch \
                 else next(iter(batch.values())).shape[0]
@@ -183,6 +186,19 @@ class Trainer:
         if "total_loss" not in avgs and avgs:
             avgs["total_loss"] = sum(
                 v for k, v in avgs.items() if k.endswith("loss"))
+        # validation visuals (save_valid_result parity): tasks may expose
+        # visualize(params, batch, rng) -> {name: (mel_pred, mel_gt|None)}
+        if first_batch is not None and hasattr(self.task, "visualize"):
+            try:
+                figs = self.task.visualize(state["params"], first_batch, rng)
+                step = int(jax.device_get(state["step"]))
+                for name, (pred, gt) in figs.items():
+                    self.logger.log_mel_figure(
+                        step, name, np.asarray(pred),
+                        None if gt is None else np.asarray(gt))
+            except Exception as e:  # plots must never kill training
+                if self.logger.is_main:
+                    print(f"| visualize failed: {e}")
         return avgs
 
     def fit(self, train_batches: Iterable, val_batches_fn: Callable[[], Iterable]

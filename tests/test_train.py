@@ -497,3 +497,26 @@ def test_separation_task_pit():
     }
     loss, _ = task.loss_fns["model"](params, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(loss))
+
+
+def test_validation_mel_figures(tmp_path):
+    """save_valid_result parity: validation writes gt/pred mel figures."""
+    task = _tiny_fs2_task()
+    tcfg = TrainerConfig(work_dir=str(tmp_path), max_updates=4,
+                         val_check_interval=4, log_interval=2,
+                         num_sanity_val_steps=0, use_tensorboard=False)
+    trainer = Trainer(task, tcfg)
+    rng = np.random.default_rng(0)
+    batch = _fs2_batch(rng)
+
+    def gen():
+        while True:
+            yield batch
+
+    def val_gen():
+        yield batch
+
+    trainer.fit(gen(), val_gen)
+    figs = glob.glob(os.path.join(tmp_path, "figures", "mel_0_*.png"))
+    assert figs, "no validation mel figures written"
+    assert os.path.getsize(figs[0]) > 1000
