@@ -39,6 +39,30 @@ def merge_audio(path1: str, path2: str, root: str = ".") -> str:
     return out
 
 
+def _wav_seconds(path: str) -> float:
+    """Duration of a PCM wav from its header (no full read)."""
+    import wave
+
+    try:
+        with wave.open(path, "rb") as w:
+            return w.getnframes() / max(w.getframerate(), 1)
+    except Exception:
+        return 0.0
+
+
+#: per-tool RTF/latency counters (SURVEY.md §5 plan: per-tool RTF as
+#: first-class metrics; exposed at the server's /stats endpoint)
+TOOL_STATS: dict = {}
+
+
+def tool_stats_report() -> dict:
+    return {name: {"calls": m.calls, "wall_s": round(m.wall, 4),
+                   "audio_s": round(m.audio, 3),
+                   "rtf": round(m.rtf, 5) if m.audio > 0 else None,
+                   "mean_latency_s": round(m.wall / max(m.calls, 1), 4)}
+            for name, m in TOOL_STATS.items()}
+
+
 @dataclasses.dataclass
 class Tool:
     name: str
@@ -47,7 +71,20 @@ class Tool:
     media_kind: str = "audio"   # 'audio' | 'image' | 'video' | 'text'
 
     def __call__(self, text: str) -> str:
-        return self.fn(text)
+        import time
+
+        from audiogpt_tpu.utils.profiling import RTFMeter
+
+        meter = TOOL_STATS.setdefault(self.name, RTFMeter())
+        t0 = time.perf_counter()
+        out = self.fn(text)
+        wall = time.perf_counter() - t0
+        audio_s = 0.0
+        if self.media_kind == "audio" and isinstance(out, str) \
+                and out.endswith(".wav") and os.path.isfile(out):
+            audio_s = _wav_seconds(out)
+        meter.update(wall, audio_s)
+        return out
 
 
 class ToolRegistry:

@@ -172,6 +172,13 @@ class _Handler(BaseHTTPRequestHandler):
         elif self.path == "/health":
             self._json({"status": "ok", "mode": self.app.mode,
                         "tools": self.app.tools.names()})
+        elif self.path == "/stats":
+            # per-tool RTF/latency counters (SURVEY.md §5: first-class
+            # per-tool RTF metrics, replacing the reference's ad-hoc
+            # profile_infer timers, vocoders/hifigan.py:59)
+            from audiogpt_tpu.agent.tools import tool_stats_report
+
+            self._json(tool_stats_report())
         elif self.path.startswith("/media/"):
             rel = os.path.normpath(self.path[len("/media/"):])
             full = os.path.join(self.app.media_root, rel)

@@ -216,3 +216,19 @@ def test_concurrent_chat_requests(tmp_path):
         assert answers == sorted(f"answer-{i}" for i in range(8))
     finally:
         httpd.shutdown()
+
+
+def test_stats_endpoint_reports_tool_rtf(server):
+    """/stats exposes per-tool RTF/latency counters (SURVEY.md §5: per-tool
+    RTF as first-class metrics). Runs after the chat tests above drove the
+    enhancement tool through the agent."""
+    port, app, _ = server
+    code, body, _ = _req(port, "/stats")
+    assert code == 200
+    stats = json.loads(body)
+    key = "Speech Enhancement In Single-Channel"
+    assert key in stats
+    row = stats[key]
+    assert row["calls"] >= 1 and row["wall_s"] > 0
+    assert row["audio_s"] > 0 and row["rtf"] is not None
+    assert "mean_latency_s" in row
