@@ -106,6 +106,34 @@ def bench_diffusion_steps(iters: int = 3, steps: int = 25, bf16: bool = False):
     return steps * 2 / dt  # CFG pair counts as 2 UNet evals per step
 
 
+def bench_tts_rtf(iters: int = 10):
+    """FastSpeech2 and PortaSpeech(SyntaSpeech-class) text→mel→wav RTF
+    (BASELINE.json benchmark config). Wall-clock includes the text frontend;
+    RTF is against the produced audio duration — with random weights the
+    duration predictors emit short clips, so we also report wall seconds."""
+    import time as _t
+
+    import numpy as np
+
+    from audiogpt_tpu.engines.tts import PortaSpeechTTSEngine, TTSEngine
+
+    text = ("the quick brown fox jumps over the lazy dog while the band "
+            "plays a cheerful tune in the park")
+    out = {}
+    for name, eng in (("fs2", TTSEngine()),
+                      ("portaspeech", PortaSpeechTTSEngine())):
+        wav = eng(text)  # compile
+        sr = eng.sample_rate
+        t0 = _t.perf_counter()
+        secs = 0.0
+        for _ in range(iters):
+            wav = eng(text)
+            secs += len(wav) / sr
+        dt = (_t.perf_counter() - t0) / iters
+        out[name] = (dt, secs / iters)
+    return out
+
+
 def bench_agent_chain(iters: int = 3):
     """Full multi-tool agent chain (BASELINE.json benchmark config:
     'DiffSinger + separation in a full multi-tool agent chain'): one request
@@ -179,7 +207,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--suite", default="headline",
                     choices=["headline", "all", "flash", "asr", "diffusion",
-                             "chain"])
+                             "chain", "tts"])
     ap.add_argument("--frames", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--batch", type=int, default=1)
@@ -205,6 +233,15 @@ def main():
         extra.append({"metric": "t2a_unet_evals_per_sec_bf16",
                       "value": round(sps16, 2), "unit": "evals_per_sec",
                       "vs_baseline": round(sps16 / 20.0, 3)})
+    if args.suite in ("all", "tts"):
+        for name, (dt, audio) in bench_tts_rtf().items():
+            extra.append({"metric": f"tts_{name}_wall_s",
+                          "value": round(dt, 4), "unit": "s_per_utt",
+                          "vs_baseline": 1.0})
+            if audio > 0.2:
+                extra.append({"metric": f"tts_{name}_rtf",
+                              "value": round(dt / audio, 4), "unit": "rtf",
+                              "vs_baseline": round(0.05 / (dt / audio), 2)})
     if args.suite in ("all", "chain"):
         dt, audio = bench_agent_chain()
         # random-weight duration predictors emit near-zero-length audio, so
