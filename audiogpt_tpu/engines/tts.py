@@ -23,6 +23,77 @@ from audiogpt_tpu.text import EnglishFrontend, TokenTextEncoder
 TOKEN_BUCKETS = (32, 64, 128, 256)
 
 
+def split_for_buckets(frontend, text: str, fits) -> list[str]:
+    """Split long input into clause chunks for which ``fits(ProcessedText)``
+    holds (long-form synthesis: the reference fails beyond its fixed
+    canvases — SURVEY.md §5 long-context; here we chunk at clause
+    punctuation and fall back to word bisection)."""
+    import re
+
+    def ok(t: str) -> bool:
+        return fits(frontend(t))
+
+    if ok(text):
+        return [text]
+    parts = [p.strip() for p in
+             re.split(r"(?<=[.!?;:,])\s+", text.strip()) if p.strip()]
+    chunks: list[str] = []
+    cur = ""
+    for p in parts:
+        cand = (cur + " " + p).strip()
+        if cur and not ok(cand):
+            chunks.append(cur)
+            cur = p
+        else:
+            cur = cand
+    if cur:
+        chunks.append(cur)
+    # a single clause can still overflow → bisect on words
+    out: list[str] = []
+    stack = chunks[::-1]
+    while stack:
+        c = stack.pop()
+        if ok(c):
+            out.append(c)
+            continue
+        words = c.split()
+        if len(words) < 2:
+            out.append(c)  # single unsplittable token; engine will error
+            continue
+        mid = len(words) // 2
+        stack.append(" ".join(words[mid:]))
+        stack.append(" ".join(words[:mid]))
+    return out
+
+
+def synthesize_long(engine, text: str, gap_sec: float = 0.1) -> np.ndarray:
+    """Chunked long-form text→wav over any engine exposing ``frontend``,
+    ``text_to_mel``, ``vocoder``, ``sample_rate`` and bucket ladders."""
+    max_phones = max(engine.ph_bucketer.buckets
+                     if hasattr(engine, "ph_bucketer")
+                     else engine.bucketer.buckets)
+    max_words = max(engine.word_bucketer.buckets) \
+        if hasattr(engine, "word_bucketer") else None
+
+    def fits(pt) -> bool:
+        if len(pt.phones) > max_phones:
+            return False
+        # +2: engines may add <BOS>/<EOS> words around pt.words
+        return max_words is None or len(pt.words) + 2 <= max_words
+
+    chunks = split_for_buckets(engine.frontend, text, fits)
+    wavs = [engine.vocoder(engine.text_to_mel(c)) for c in chunks]
+    if len(wavs) == 1:
+        return wavs[0]
+    gap = np.zeros(int(gap_sec * engine.sample_rate), np.float32)
+    pieces: list[np.ndarray] = []
+    for i, w in enumerate(wavs):
+        pieces.append(w)
+        if i < len(wavs) - 1:
+            pieces.append(gap)
+    return np.concatenate(pieces)
+
+
 @ENGINES.register("tts")
 class TTSEngine(Engine):
     name = "tts"
@@ -74,9 +145,9 @@ class TTSEngine(Engine):
         return mel[:end]
 
     def __call__(self, text: str) -> np.ndarray:
-        """text → waveform (vocoder sample rate)."""
-        mel = self.text_to_mel(text)
-        return self.vocoder(mel)
+        """text → waveform (vocoder sample rate); long inputs are chunked
+        at clause boundaries and joined with short gaps."""
+        return synthesize_long(self, text)
 
     @property
     def sample_rate(self) -> int:
@@ -181,7 +252,7 @@ class PortaSpeechTTSEngine(Engine):
         return mel[:end]
 
     def __call__(self, text: str) -> np.ndarray:
-        return self.vocoder(self.text_to_mel(text))
+        return synthesize_long(self, text)
 
     @property
     def sample_rate(self) -> int:

@@ -369,3 +369,43 @@ def test_portaspeech_rel_fft_matches_interface():
                                 tgt_mels=mels, rng=rng)
     names = set(p2["params"]["encoder"].keys())
     assert any("layer" in n for n in names)
+
+
+def test_long_text_chunked_synthesis():
+    """Inputs beyond the largest token bucket are chunked at clause
+    boundaries and joined with short gaps — both TTS engines."""
+    from audiogpt_tpu.engines.tts import (
+        PortaSpeechTTSEngine, TTSEngine, split_for_buckets,
+    )
+    from audiogpt_tpu.engines.vocoder import VocoderEngine
+    from audiogpt_tpu.models.tts.fastspeech2 import FastSpeech2Config
+    from audiogpt_tpu.models.vocoder.hifigan import HifiGANConfig
+
+    voc = VocoderEngine("hifigan", cfg=HifiGANConfig(
+        in_channels=20, upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 3),), sample_rate=22050),
+        buckets=(64, 128))
+    eng = TTSEngine(cfg=FastSpeech2Config(
+        vocab_size=90, hidden_size=16, enc_layers=1, dec_layers=1,
+        num_heads=2, enc_ffn_kernel_size=3, dec_ffn_kernel_size=3, n_mels=20,
+        dur_predictor_layers=1, predictor_layers=1, predictor_hidden=8,
+        max_frames=128), vocoder=voc, token_buckets=(16, 32))
+    # splitter respects the bucket ceiling
+    long_text = ("the cat sat on the mat, the dog ran in the park, "
+                 "a bird sang in the tree, and then everyone slept.")
+    chunks = split_for_buckets(
+        eng.frontend, long_text,
+        lambda pt: len(pt.phones) <= 32)
+    assert len(chunks) > 1
+    assert all(len(eng.frontend(c).phones) <= 32 for c in chunks)
+    # end-to-end long synthesis produces one joined waveform
+    wav = eng(long_text)
+    assert wav.ndim == 1 and len(wav) > 0 and np.isfinite(wav).all()
+
+    cfg = _tiny_cfg(max_frames=64, n_mels=20)
+    ps = PortaSpeechTTSEngine(cfg=cfg, word_vocab=["<BOS>", "<EOS>"],
+                              token_buckets=(16, 32), word_buckets=(8, 16),
+                              vocoder=voc)
+    wav2 = ps(long_text)
+    assert wav2.ndim == 1 and len(wav2) > 0 and np.isfinite(wav2).all()
