@@ -168,6 +168,19 @@ def build_engines(names: Mapping[str, Any] | list[str] | str = "all"
     return out
 
 
+def load_engine_ckpts(engines: Mapping[str, Any], specs: list[str]) -> None:
+    """Apply ``ENGINE=ORBAX_DIR`` checkpoint specs (import_ckpt / trainer
+    output) to constructed engines."""
+    for spec in specs:
+        name, _, path = spec.partition("=")
+        if name not in engines:
+            raise SystemExit(f"--ckpt {spec}: engine {name!r} not enabled")
+        from audiogpt_tpu.import_ckpt import restore_params
+
+        engines[name].params = restore_params(path)
+        print(f"| loaded {name} params from {path}", flush=True)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--engines", default="enhance",
@@ -185,6 +198,11 @@ def main(argv=None):
                     help="persistent XLA compilation cache (large models "
                          "compile in minutes cold; cached startups are "
                          "seconds)")
+    ap.add_argument("--ckpt", action="append", default=[],
+                    metavar="ENGINE=DIR",
+                    help="load an orbax params dir (import_ckpt / trainer "
+                         "output) into an engine, e.g. --ckpt tts=ckpt/fs2 "
+                         "(repeatable)")
     args = ap.parse_args(argv)
 
     if args.compile_cache:
@@ -206,6 +224,7 @@ def main(argv=None):
 
         llm = ScriptedLLM([])  # echo/demo mode: always answers directly
     engines = build_engines(args.engines)
+    load_engine_ckpts(engines, args.ckpt)
     asr_fn = tts_fn = None
     if "asr" in engines:
         from audiogpt_tpu.utils.audio_io import load_wav

@@ -232,3 +232,30 @@ def test_stats_endpoint_reports_tool_rtf(server):
     assert row["calls"] >= 1 and row["wall_s"] > 0
     assert row["audio_s"] > 0 and row["rtf"] is not None
     assert "mean_latency_s" in row
+
+
+def test_load_engine_ckpts_roundtrip(tmp_path):
+    """serve --ckpt ENGINE=DIR: orbax params land in the engine and change
+    its output."""
+    import jax
+
+    from audiogpt_tpu.app import load_engine_ckpts
+    from audiogpt_tpu.engines.transform import SeparationEngine
+    from audiogpt_tpu.import_ckpt import save_params
+    from audiogpt_tpu.models.separation.convtasnet import ConvTasNetConfig
+
+    eng = SeparationEngine(ConvTasNetConfig(
+        n_src=1, enc_dim=32, bottleneck=8, hidden=16, skip=8,
+        n_blocks=2, n_repeats=1))
+    perturbed = jax.tree.map(lambda a: a + 0.01, eng.params)
+    path = tmp_path / "ck"
+    save_params(perturbed, str(path))
+
+    load_engine_ckpts({"enhance": eng}, [f"enhance={path}"])
+    leaf = jax.tree.leaves(eng.params)[0]
+    leaf2 = jax.tree.leaves(perturbed)[0]
+    np.testing.assert_allclose(np.asarray(leaf), np.asarray(leaf2))
+
+    import pytest
+    with pytest.raises(SystemExit):
+        load_engine_ckpts({"enhance": eng}, [f"tts={path}"])
