@@ -238,7 +238,10 @@ def main():
             extra.append({"metric": f"tts_{name}_wall_s",
                           "value": round(dt, 4), "unit": "s_per_utt",
                           "vs_baseline": 1.0})
-            if audio > 0.2:
+            # RTF is only meaningful when enough audio comes out; random
+            # weights emit sub-second clips where fixed per-call overhead
+            # dominates — report wall seconds there instead
+            if audio > 2.0:
                 extra.append({"metric": f"tts_{name}_rtf",
                               "value": round(dt / audio, 4), "unit": "rtf",
                               "vs_baseline": round(0.05 / (dt / audio), 2)})
