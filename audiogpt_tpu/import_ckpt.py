@@ -57,6 +57,7 @@ def convert(family: str, sd: Mapping[str, np.ndarray], cfg: Any) -> dict:
         "bert": ti.convert_bert,
         "clap_text": ti.convert_clap_text,
         "diffnet": ti.convert_diffnet,
+        "cnn14": ti.convert_cnn14,
     }
     if family not in table:
         raise KeyError(f"unknown family {family!r}; have {sorted(table)}")
@@ -97,6 +98,10 @@ def default_config(family: str) -> Any:
         from audiogpt_tpu.models.svs.diffsinger import DiffNetConfig
 
         return DiffNetConfig()
+    if family == "cnn14":
+        from audiogpt_tpu.models.caption.cnn14 import Cnn14Config
+
+        return Cnn14Config()
     raise KeyError(family)
 
 

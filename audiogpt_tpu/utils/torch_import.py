@@ -527,3 +527,46 @@ def convert_diffnet(sd: Mapping[str, np.ndarray], cfg) -> dict:
         p[f"res_{i}_cond"] = _conv1d(sd, f"{r}.conditioner_projection")
         p[f"res_{i}_out"] = _conv1d(sd, f"{r}.output_projection")
     return {"params": p}
+
+
+# ---------------------------------------------------------------------------
+# Cnn14 / PANN audio backbone (audio_to_text/captioning/models/encoder.py:336;
+# also the open_clap PANN tower and the PANN SED family). Official
+# audioset_tagging_cnn checkpoint names: bn0, conv_block{1..6}.{conv,bn}{1,2},
+# fc1, fc_audioset.
+# ---------------------------------------------------------------------------
+
+
+def _bn(sd, prefix):
+    """torch BatchNorm → (flax params, batch_stats)."""
+    params = {"scale": np.asarray(sd[prefix + ".weight"]).astype(np.float32),
+              "bias": np.asarray(sd[prefix + ".bias"]).astype(np.float32)}
+    stats = {"mean": np.asarray(sd[prefix + ".running_mean"]).astype(np.float32),
+             "var": np.asarray(sd[prefix + ".running_var"]).astype(np.float32)}
+    return params, stats
+
+
+def convert_cnn14(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """→ {'params': ..., 'batch_stats': ...} for
+    :class:`audiogpt_tpu.models.caption.cnn14.Cnn14Encoder` (tagging head
+    included when fc_audioset is present)."""
+    sd = {k.removeprefix("model.").removeprefix("backbone.")
+          .removeprefix("encoder."): np.asarray(v) for k, v in sd.items()}
+    params: dict = {}
+    stats: dict = {}
+    p0, s0 = _bn(sd, "bn0")
+    params["bn0"], stats["bn0"] = p0, s0
+    for i in range(len(cfg.channels)):
+        blk = f"conv_block{i + 1}"
+        bp: dict = {}
+        bs: dict = {}
+        for j in (1, 2):
+            bp[f"conv{j}"] = _conv2d(sd, f"{blk}.conv{j}")
+            pj, sj = _bn(sd, f"{blk}.bn{j}")
+            bp[f"bn{j}"], bs[f"bn{j}"] = pj, sj
+        params[blk] = bp
+        stats[blk] = bs
+    params["fc1"] = _dense(sd, "fc1")
+    if "fc_audioset.weight" in sd:
+        params["fc_audioset"] = _dense(sd, "fc_audioset")
+    return {"params": params, "batch_stats": stats}

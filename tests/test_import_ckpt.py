@@ -50,3 +50,57 @@ def test_unknown_family_errors(tmp_path):
 
     with pytest.raises(KeyError, match="unknown family"):
         ic.convert("nope", {}, None)
+
+
+def test_convert_cnn14_tree_and_forward():
+    """PANN Cnn14 converter: official audioset_tagging_cnn names → our
+    NHWC tree; batch-stats land in the right collection (changing a
+    running_var changes the forward)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from audiogpt_tpu.import_ckpt import convert, default_config
+    from audiogpt_tpu.models.caption.cnn14 import Cnn14Config, Cnn14Encoder
+
+    cfg = Cnn14Config(channels=(8, 8, 8, 8, 8, 16), classes_num=10)
+    rng = np.random.default_rng(0)
+    sd = {"bn0.weight": np.ones(64), "bn0.bias": np.zeros(64),
+          "bn0.running_mean": np.zeros(64), "bn0.running_var": np.ones(64)}
+    cin = 1
+    for i, ch in enumerate(cfg.channels):
+        blk = f"conv_block{i + 1}"
+        for j, ic in ((1, cin), (2, ch)):
+            sd[f"{blk}.conv{j}.weight"] = rng.normal(
+                size=(ch, ic, 3, 3)).astype(np.float32) * 0.05
+            sd[f"{blk}.bn{j}.weight"] = np.ones(ch, np.float32)
+            sd[f"{blk}.bn{j}.bias"] = np.zeros(ch, np.float32)
+            sd[f"{blk}.bn{j}.running_mean"] = np.zeros(ch, np.float32)
+            sd[f"{blk}.bn{j}.running_var"] = np.ones(ch, np.float32)
+        cin = ch
+    sd["fc1.weight"] = rng.normal(size=(16, 16)).astype(np.float32) * 0.05
+    sd["fc1.bias"] = np.zeros(16, np.float32)
+    sd["fc_audioset.weight"] = rng.normal(size=(10, 16)).astype(np.float32)
+    sd["fc_audioset.bias"] = np.zeros(10, np.float32)
+
+    variables = convert("cnn14", sd, cfg)
+    model = Cnn14Encoder(cfg, with_head=True)
+    ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32000)))
+    # identical tree structure and shapes
+    assert jax.tree.structure(ref) == jax.tree.structure(
+        jax.tree.map(jnp.asarray, variables))
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(
+            jax.tree.map(jnp.asarray, variables))):
+        assert a.shape == b.shape
+
+    wav = jnp.asarray(rng.normal(size=(1, 32000)), jnp.float32) * 0.1
+    out = model.apply(variables, wav)
+    assert np.isfinite(np.asarray(out["clipwise_output"])).all()
+    # running stats are live: inflating a running_var shifts the output
+    v2 = jax.tree.map(lambda x: x, variables)
+    v2["batch_stats"]["conv_block1"]["bn1"]["var"] = \
+        v2["batch_stats"]["conv_block1"]["bn1"]["var"] * 100.0
+    out2 = model.apply(v2, wav)
+    assert float(jnp.abs(out2["fc_emb"] - out["fc_emb"]).max()) > 0.0
+
+    assert default_config("cnn14").mel_bins == 64
