@@ -58,6 +58,7 @@ def convert(family: str, sd: Mapping[str, np.ndarray], cfg: Any) -> dict:
         "clap_text": ti.convert_clap_text,
         "diffnet": ti.convert_diffnet,
         "cnn14": ti.convert_cnn14,
+        "pwg": ti.convert_pwg,
     }
     if family not in table:
         raise KeyError(f"unknown family {family!r}; have {sorted(table)}")
@@ -102,6 +103,10 @@ def default_config(family: str) -> Any:
         from audiogpt_tpu.models.caption.cnn14 import Cnn14Config
 
         return Cnn14Config()
+    if family == "pwg":
+        from audiogpt_tpu.models.vocoder.pwg import PWGConfig
+
+        return PWGConfig(upsample="conv_in")
     raise KeyError(family)
 
 

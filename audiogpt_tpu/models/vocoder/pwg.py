@@ -45,6 +45,12 @@ class PWGConfig:
     kernel_size: int = 3
     upsample_scales: Sequence[int] = (4, 4, 4, 4)
     sample_rate: int = 22050
+    #: 'repeat' = context conv + nearest repeat (our original TPU-simple
+    #: path); 'conv_in' = the reference's ConvInUpsampleNetwork (conv_in +
+    #: per-scale stretch + learned smoothing convs,
+    #: parallel_wavegan/layers/upsample.py:125) — required to load
+    #: pretrained PWG checkpoints
+    upsample: str = "repeat"
 
     @property
     def hop_size(self) -> int:
@@ -71,6 +77,31 @@ class PWGResidualBlock(nn.Module):
 
 
 @VOCODERS.register("pwg")
+class ConvInUpsample(nn.Module):
+    """ConvInUpsampleNetwork (upsample.py:125): context conv over mel, then
+    per-scale nearest stretch + a single-channel (2s+1) smoothing conv
+    shared across mel bins. The torch version runs the smoothing as a
+    1-channel Conv2d over a [B,1,A,T] image; here mel bins fold into the
+    batch so it stays a cheap 1-D conv on TPU."""
+
+    cfg: PWGConfig
+
+    @nn.compact
+    def __call__(self, mel):
+        cfg = self.cfg
+        k = 2 * cfg.aux_context_window + 1
+        c = nn.Conv(cfg.aux_channels, (k,), padding="SAME", use_bias=False,
+                    name="conv_in")(mel)
+        for i, s in enumerate(cfg.upsample_scales):
+            c = jnp.repeat(c, s, axis=1)                   # Stretch2d (time)
+            b, t, a = c.shape
+            flat = c.transpose(0, 2, 1).reshape(b * a, t, 1)
+            flat = nn.Conv(1, (2 * s + 1,), padding="SAME", use_bias=False,
+                           name=f"up{i}")(flat)
+            c = flat.reshape(b, a, t).transpose(0, 2, 1)
+        return c
+
+
 class PWGGenerator(nn.Module):
     """(noise [B, T], mel [B, frames, A]) → wav [B, T]; T = frames * hop."""
 
@@ -86,10 +117,13 @@ class PWGGenerator(nn.Module):
             rng = rng if rng is not None else jax.random.PRNGKey(0)
             noise = jax.random.normal(rng, (b, t))
 
-        # aux context conv then nearest upsample to sample rate
-        c = nn.Conv(cfg.aux_channels, (2 * cfg.aux_context_window + 1,),
-                    padding="SAME", use_bias=False, name="aux_context")(mel)
-        c = jnp.repeat(c, cfg.hop_size, axis=1)       # [B, T, A]
+        if cfg.upsample == "conv_in":
+            c = ConvInUpsample(cfg, name="upsample_net")(mel)  # [B, T, A]
+        else:
+            # aux context conv then nearest upsample to sample rate
+            c = nn.Conv(cfg.aux_channels, (2 * cfg.aux_context_window + 1,),
+                        padding="SAME", use_bias=False, name="aux_context")(mel)
+            c = jnp.repeat(c, cfg.hop_size, axis=1)       # [B, T, A]
 
         x = nn.Conv(cfg.residual_channels, (1,), name="first_conv")(
             noise[..., None])

@@ -570,3 +570,32 @@ def convert_cnn14(sd: Mapping[str, np.ndarray], cfg) -> dict:
     if "fc_audioset.weight" in sd:
         params["fc_audioset"] = _dense(sd, "fc_audioset")
     return {"params": params, "batch_stats": stats}
+
+
+def convert_pwg(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """ParallelWaveGAN generator
+    (``modules/parallel_wavegan/models/parallel_wavegan.py:22``; residual
+    blocks residual_block.py, ConvInUpsampleNetwork upsample.py:125) →
+    :class:`audiogpt_tpu.models.vocoder.pwg.PWGGenerator` with
+    ``upsample='conv_in'``. The torch ModuleList interleaves parameter-free
+    Stretch2d with the smoothing convs, so conv indices are 1, 3, 5, …"""
+    sd = {k.removeprefix("model_gen.").removeprefix("generator."): np.asarray(v)
+          for k, v in sd.items()}
+    p: dict = {"first_conv": _conv1d(sd, "first_conv")}
+    up: dict = {"conv_in": _conv1d(sd, "upsample_net.conv_in")}
+    for i, _s in enumerate(cfg.upsample_scales):
+        w = _fold_wn(sd, f"upsample_net.upsample.up_layers.{2 * i + 1}")
+        # torch Conv2d [1, 1, 1, 2s+1] → time-axis 1-D kernel [2s+1, 1, 1]
+        up[f"up{i}"] = {"kernel": w[0, 0, 0][:, None, None].astype(np.float32)}
+    p["upsample_net"] = up
+    for i in range(cfg.layers):
+        r = f"conv_layers.{i}"
+        p[f"block{i}"] = {
+            "conv": _conv1d(sd, f"{r}.conv"),
+            "conv1x1_aux": _conv1d(sd, f"{r}.conv1x1_aux"),
+            "conv1x1_out": _conv1d(sd, f"{r}.conv1x1_out"),
+            "conv1x1_skip": _conv1d(sd, f"{r}.conv1x1_skip"),
+        }
+    p["post1"] = _conv1d(sd, "last_conv_layers.1")
+    p["post2"] = _conv1d(sd, "last_conv_layers.3")
+    return {"params": p}

@@ -104,3 +104,53 @@ def test_convert_cnn14_tree_and_forward():
     assert float(jnp.abs(out2["fc_emb"] - out["fc_emb"]).max()) > 0.0
 
     assert default_config("cnn14").mel_bins == 64
+
+
+def test_pwg_import_parity(tmp_path, monkeypatch):
+    """ParallelWaveGAN generator: torch ckpt → converter → output parity
+    (ConvInUpsampleNetwork path; torch takes a context-padded mel while our
+    SAME-padded conv_in sees the identical zero padding)."""
+    ref_torch.add_neuralseq_path()
+    from modules.parallel_wavegan.models.parallel_wavegan import (
+        ParallelWaveGANGenerator,
+    )
+
+    import audiogpt_tpu.import_ckpt as ic
+    from audiogpt_tpu.import_ckpt import restore_params
+    from audiogpt_tpu.models.vocoder.pwg import PWGConfig, PWGGenerator
+
+    torch.manual_seed(0)
+    cw = 2
+    scales = [4, 4]
+    ref = ParallelWaveGANGenerator(
+        layers=6, stacks=2, residual_channels=8, gate_channels=16,
+        skip_channels=8, aux_channels=10, aux_context_window=cw,
+        upsample_params={"upsample_scales": scales}).eval()
+    ckpt = str(tmp_path / "pwg.pt")
+    torch.save({"state_dict": {"model_gen." + k: v
+                               for k, v in ref.state_dict().items()}}, ckpt)
+
+    cfg = PWGConfig(layers=6, stacks=2, residual_channels=8,
+                    gate_channels=16, skip_channels=8, aux_channels=10,
+                    aux_context_window=cw, upsample_scales=tuple(scales),
+                    upsample="conv_in")
+    monkeypatch.setattr(ic, "default_config", lambda fam: cfg)
+    out = str(tmp_path / "params")
+    ic.main(["--family", "pwg", "--ckpt", ckpt, "--out", out])
+    params = restore_params(out)
+
+    rng = np.random.RandomState(0)
+    frames, hop = 11, int(np.prod(scales))
+    mel = rng.randn(1, frames, 10).astype(np.float32)
+    noise = rng.randn(1, frames * hop).astype(np.float32)
+    mel_t = np.pad(mel, ((0, 0), (cw, cw), (0, 0)))  # torch: VALID conv_in
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(noise[:, None, :]),
+                    torch.from_numpy(mel_t.transpose(0, 2, 1))).numpy()[:, 0]
+
+    import jax.numpy as jnp
+
+    model = PWGGenerator(cfg)
+    y = np.asarray(model.apply(params, jnp.asarray(mel),
+                               noise=jnp.asarray(noise)))
+    np.testing.assert_allclose(y, y_ref, atol=2e-4)
