@@ -59,6 +59,7 @@ def convert(family: str, sd: Mapping[str, np.ndarray], cfg: Any) -> dict:
         "diffnet": ti.convert_diffnet,
         "cnn14": ti.convert_cnn14,
         "pwg": ti.convert_pwg,
+        "caption": ti.convert_caption,
     }
     if family not in table:
         raise KeyError(f"unknown family {family!r}; have {sorted(table)}")
@@ -107,6 +108,10 @@ def default_config(family: str) -> Any:
         from audiogpt_tpu.models.vocoder.pwg import PWGConfig
 
         return PWGConfig(upsample="conv_in")
+    if family == "caption":
+        from audiogpt_tpu.models.caption.captioner import CaptionConfig
+
+        return CaptionConfig()
     raise KeyError(family)
 
 

@@ -599,3 +599,60 @@ def convert_pwg(sd: Mapping[str, np.ndarray], cfg) -> dict:
     p["post1"] = _conv1d(sd, "last_conv_layers.1")
     p["post2"] = _conv1d(sd, "last_conv_layers.3")
     return {"params": p}
+
+
+def _gru(sd, prefix, bidirectional):
+    """torch GRU (weight_ih_l0 [3H,D] …) → our GRU (fwd_/bwd_ [D,3H])."""
+    out = {
+        "fwd_w_ih": np.asarray(sd[f"{prefix}.weight_ih_l0"]).T.astype(np.float32),
+        "fwd_w_hh": np.asarray(sd[f"{prefix}.weight_hh_l0"]).T.astype(np.float32),
+        "fwd_b_ih": np.asarray(sd[f"{prefix}.bias_ih_l0"]).astype(np.float32),
+        "fwd_b_hh": np.asarray(sd[f"{prefix}.bias_hh_l0"]).astype(np.float32),
+    }
+    if bidirectional:
+        out.update({
+            "bwd_w_ih": np.asarray(sd[f"{prefix}.weight_ih_l0_reverse"]).T.astype(np.float32),
+            "bwd_w_hh": np.asarray(sd[f"{prefix}.weight_hh_l0_reverse"]).T.astype(np.float32),
+            "bwd_b_ih": np.asarray(sd[f"{prefix}.bias_ih_l0_reverse"]).astype(np.float32),
+            "bwd_b_hh": np.asarray(sd[f"{prefix}.bias_hh_l0_reverse"]).astype(np.float32),
+        })
+    return out
+
+
+def convert_caption(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """AudioCapModel (Cnn14RnnEncoder + torch TransformerDecoder,
+    ``audio_to_text/captioning/models``) →
+    :class:`audiogpt_tpu.models.caption.captioner.CaptionModel`.
+    Key map: encoder.cnn.* (PANN names), encoder.rnn.network.* (GRU),
+    decoder.model.layers.{i} (packed-in-proj MHA), decoder.attn_proj.0/.3,
+    decoder.word_embedding, decoder.classifier."""
+    sd = {k.removeprefix("model."): np.asarray(v) for k, v in sd.items()}
+    cnn_sd = {k.removeprefix("encoder.cnn."): v for k, v in sd.items()
+              if k.startswith("encoder.cnn.")}
+    cnn = convert_cnn14(cnn_sd, cfg.cnn14)
+    params: dict = {"cnn": cnn["params"]}
+    stats: dict = {"cnn": cnn["batch_stats"]}
+    params["rnn"] = _gru(sd, "encoder.rnn.network", cfg.rnn_bidirectional)
+    params["word_embedding"] = {
+        "embedding": np.asarray(sd["decoder.word_embedding.weight"]
+                                ).astype(np.float32)}
+    params["attn_proj_fc"] = _dense(sd, "decoder.attn_proj.0")
+    params["attn_proj_ln"] = _ln(sd, "decoder.attn_proj.3")
+    for i in range(cfg.nlayers):
+        l = f"decoder.model.layers.{i}"
+        layer: dict = {}
+        for name in ("self_attn", "multihead_attn"):
+            layer[name] = {
+                "in_proj_weight": np.asarray(
+                    sd[f"{l}.{name}.in_proj_weight"]).T.astype(np.float32),
+                "in_proj_bias": np.asarray(
+                    sd[f"{l}.{name}.in_proj_bias"]).astype(np.float32),
+                "out_proj": _dense(sd, f"{l}.{name}.out_proj"),
+            }
+        layer["linear1"] = _dense(sd, f"{l}.linear1")
+        layer["linear2"] = _dense(sd, f"{l}.linear2")
+        for j in (1, 2, 3):
+            layer[f"norm{j}"] = _ln(sd, f"{l}.norm{j}")
+        params[f"dec_layer_{i}"] = layer
+    params["classifier"] = _dense(sd, "decoder.classifier")
+    return {"params": params, "batch_stats": stats}

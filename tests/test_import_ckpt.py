@@ -154,3 +154,79 @@ def test_pwg_import_parity(tmp_path, monkeypatch):
     y = np.asarray(model.apply(params, jnp.asarray(mel),
                                noise=jnp.asarray(noise)))
     np.testing.assert_allclose(y, y_ref, atol=2e-4)
+
+
+def test_caption_converter_tree_matches():
+    """AudioCapModel converter: torch-named state dict (real torch GRU /
+    TransformerDecoder modules supply the names) → our CaptionModel tree."""
+    import jax
+    import jax.numpy as jnp
+    import torch.nn as tnn
+
+    from audiogpt_tpu.import_ckpt import convert
+    from audiogpt_tpu.models.caption.captioner import (
+        CaptionConfig, CaptionModel,
+    )
+    from audiogpt_tpu.models.caption.cnn14 import Cnn14Config
+
+    cfg = CaptionConfig(
+        cnn14=Cnn14Config(channels=(8, 8, 8, 8, 8, 16)),
+        rnn_hidden=8, rnn_bidirectional=True, vocab_size=30, emb_dim=16,
+        nhead=2, nlayers=2, dim_feedforward=32)
+
+    torch.manual_seed(0)
+    sd = {}
+    # cnn (PANN names)
+    rng = np.random.default_rng(0)
+    sd["encoder.cnn.bn0.weight"] = np.ones(64, np.float32)
+    sd["encoder.cnn.bn0.bias"] = np.zeros(64, np.float32)
+    sd["encoder.cnn.bn0.running_mean"] = np.zeros(64, np.float32)
+    sd["encoder.cnn.bn0.running_var"] = np.ones(64, np.float32)
+    cin = 1
+    for i, ch in enumerate(cfg.cnn14.channels):
+        blk = f"encoder.cnn.conv_block{i + 1}"
+        for j, ic in ((1, cin), (2, ch)):
+            sd[f"{blk}.conv{j}.weight"] = rng.normal(size=(ch, ic, 3, 3)
+                                                     ).astype(np.float32)
+            for stat, val in (("weight", np.ones(ch)), ("bias", np.zeros(ch)),
+                              ("running_mean", np.zeros(ch)),
+                              ("running_var", np.ones(ch))):
+                sd[f"{blk}.bn{j}.{stat}"] = val.astype(np.float32)
+        cin = ch
+    sd["encoder.cnn.fc1.weight"] = rng.normal(size=(16, 16)).astype(np.float32)
+    sd["encoder.cnn.fc1.bias"] = np.zeros(16, np.float32)
+    # rnn + decoder from real torch modules (name source of truth)
+    gru = tnn.GRU(16, cfg.rnn_hidden, bidirectional=True, batch_first=True)
+    for k, v in gru.state_dict().items():
+        sd[f"encoder.rnn.network.{k}"] = v.numpy()
+    layer = tnn.TransformerDecoderLayer(cfg.emb_dim, cfg.nhead,
+                                        cfg.dim_feedforward)
+    dec = tnn.TransformerDecoder(layer, cfg.nlayers)
+    for k, v in dec.state_dict().items():
+        sd[f"decoder.model.{k}"] = v.numpy()
+    emb = tnn.Embedding(cfg.vocab_size, cfg.emb_dim)
+    sd["decoder.word_embedding.weight"] = emb.weight.detach().numpy()
+    lin = tnn.Linear(cfg.emb_dim, cfg.vocab_size)
+    sd["decoder.classifier.weight"] = lin.weight.detach().numpy()
+    sd["decoder.classifier.bias"] = lin.bias.detach().numpy()
+    ap = tnn.Linear(16, cfg.emb_dim)
+    sd["decoder.attn_proj.0.weight"] = ap.weight.detach().numpy()
+    sd["decoder.attn_proj.0.bias"] = ap.bias.detach().numpy()
+    ln = tnn.LayerNorm(cfg.emb_dim)
+    sd["decoder.attn_proj.3.weight"] = ln.weight.detach().numpy()
+    sd["decoder.attn_proj.3.bias"] = ln.bias.detach().numpy()
+
+    variables = convert("caption", sd, cfg)
+    model = CaptionModel(cfg)
+    ref = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32000)),
+                     jnp.zeros((1, 4), jnp.int32))
+    got = jax.tree.map(jnp.asarray, variables)
+    assert jax.tree.structure(ref) == jax.tree.structure(got)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(ref),
+            jax.tree_util.tree_leaves_with_path(got)):
+        assert a.shape == b.shape, (ka, a.shape, b.shape)
+    # forward runs with the converted tree
+    out = model.apply(got, jnp.zeros((1, 32000)),
+                      jnp.zeros((1, 4), jnp.int32))
+    assert np.isfinite(np.asarray(jax.tree.leaves(out)[0])).all()
