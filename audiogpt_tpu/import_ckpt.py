@@ -60,6 +60,9 @@ def convert(family: str, sd: Mapping[str, np.ndarray], cfg: Any) -> dict:
         "cnn14": ti.convert_cnn14,
         "pwg": ti.convert_pwg,
         "caption": ti.convert_caption,
+        "pvt": ti.convert_pvt,
+        "lassnet": ti.convert_lassnet,
+        "tsd": ti.convert_tsd,
     }
     if family not in table:
         raise KeyError(f"unknown family {family!r}; have {sorted(table)}")
@@ -112,6 +115,18 @@ def default_config(family: str) -> Any:
         from audiogpt_tpu.models.caption.captioner import CaptionConfig
 
         return CaptionConfig()
+    if family == "pvt":
+        from audiogpt_tpu.models.sed.pvt import PVTConfig
+
+        return PVTConfig()
+    if family == "lassnet":
+        from audiogpt_tpu.models.extraction.lassnet import LASSNetConfig
+
+        return LASSNetConfig()
+    if family == "tsd":
+        from audiogpt_tpu.models.sed.tsd import TSDConfig
+
+        return TSDConfig()
     raise KeyError(family)
 
 

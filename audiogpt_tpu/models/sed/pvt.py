@@ -47,9 +47,13 @@ class OverlapPatchEmbed(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # torch-exact padding: Conv2d(..., padding=patch_size//3)
+        # (models.py:796 ``padding=(patch_size[0] // 3, ...)``) so imported
+        # reference weights see identical token grids (k7→2, k3→1).
+        p = self.kernel // 3
         x = nn.Conv(self.dim, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride), padding="SAME",
-                    name="proj")(x)
+                    strides=(self.stride, self.stride),
+                    padding=((p, p), (p, p)), name="proj")(x)
         return nn.LayerNorm(epsilon=1e-6, name="norm")(x)
 
 
@@ -67,9 +71,11 @@ class SRAttention(nn.Module):
         q = nn.Dense(self.dim, name="q")(x).reshape(b, h * w, self.heads,
                                                     self.dim // self.heads)
         if self.sr_ratio > 1:
+            # VALID = torch's unpadded Conv2d(k=s=sr) — truncates the ragged
+            # edge rather than padding it (models.py:683).
             kv_in = nn.Conv(self.dim, (self.sr_ratio, self.sr_ratio),
                             strides=(self.sr_ratio, self.sr_ratio),
-                            name="sr")(x)
+                            padding="VALID", name="sr")(x)
             kv_in = nn.LayerNorm(epsilon=1e-6, name="sr_norm")(kv_in)
         else:
             kv_in = x

@@ -656,3 +656,146 @@ def convert_caption(sd: Mapping[str, np.ndarray], cfg) -> dict:
         params[f"dec_layer_{i}"] = layer
     params["classifier"] = _dense(sd, "decoder.classifier")
     return {"params": params, "batch_stats": stats}
+
+
+def convert_pvt(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """PVT sound-event detector → :class:`audiogpt_tpu.models.sed.pvt.PVTSED`.
+
+    Reference layout: ``audio_detection/audio_infer/pytorch/models.py:141``
+    (class ``PVT``) — ``bn0`` over 64 mel bins, a 4-stage
+    ``PyramidVisionTransformerV2`` under ``pvt_transformer.`` (overlap patch
+    embeds ``patch_embed{i}.{proj,norm}``, blocks ``block{i}.{j}`` with
+    q/kv/sr spatial-reduction attention + mix-FFN depthwise conv, stage norms
+    ``norm{i}``) and the framewise head ``fc_audioset``. Stage indices are
+    1-based in torch, 0-based here.
+    """
+    sd = {k.removeprefix("model."): np.asarray(v) for k, v in sd.items()}
+    params: dict = {}
+    stats: dict = {}
+    p0, s0 = _bn(sd, "bn0")
+    params["bn0"], stats["bn0"] = p0, s0
+    pvt = "pvt_transformer"
+    for i, (depth, sr) in enumerate(zip(cfg.depths, cfg.sr_ratios)):
+        params[f"patch_embed{i}"] = {
+            "proj": _conv2d(sd, f"{pvt}.patch_embed{i + 1}.proj"),
+            "norm": _ln(sd, f"{pvt}.patch_embed{i + 1}.norm"),
+        }
+        for d in range(depth):
+            blk = f"{pvt}.block{i + 1}.{d}"
+            attn = {
+                "q": _dense(sd, f"{blk}.attn.q"),
+                "kv": _dense(sd, f"{blk}.attn.kv"),
+                "proj": _dense(sd, f"{blk}.attn.proj"),
+            }
+            if sr > 1:
+                attn["sr"] = _conv2d(sd, f"{blk}.attn.sr")
+                attn["sr_norm"] = _ln(sd, f"{blk}.attn.norm")
+            params[f"stage{i}_block{d}"] = {
+                "norm1": _ln(sd, f"{blk}.norm1"),
+                "norm2": _ln(sd, f"{blk}.norm2"),
+                "attn": attn,
+                "ffn": {
+                    "fc1": _dense(sd, f"{blk}.mlp.fc1"),
+                    "dwconv": _conv2d(sd, f"{blk}.mlp.dwconv.dwconv"),
+                    "fc2": _dense(sd, f"{blk}.mlp.fc2"),
+                },
+            }
+        params[f"stage{i}_norm"] = _ln(sd, f"{pvt}.norm{i + 1}")
+    params["fc_audioset"] = _dense(sd, "fc_audioset")
+    return {"params": params, "batch_stats": stats}
+
+
+def _film(sd, prefix):
+    """Film MLP (sound_extraction/model/film.py:4): Sequential Linear/ReLU/
+    Linear/ReLU → {l1, l2}."""
+    return {"l1": _dense(sd, f"{prefix}.linear.0"),
+            "l2": _dense(sd, f"{prefix}.linear.2")}
+
+
+def _cbr_cond(sd, prefix, has_shortcut):
+    """ConvBlockResCond (sound_extraction/model/modules.py:326) →
+    (params, batch_stats) for our block of the same name."""
+    p: dict = {"conv1": _conv2d(sd, f"{prefix}.conv1"),
+               "conv2": _conv2d(sd, f"{prefix}.conv2"),
+               "film1": _film(sd, f"{prefix}.film1"),
+               "film2": _film(sd, f"{prefix}.film2")}
+    s: dict = {}
+    for j in (1, 2):
+        p[f"bn{j}"], s[f"bn{j}"] = _bn(sd, f"{prefix}.bn{j}")
+    if has_shortcut:
+        p["shortcut"] = _conv2d(sd, f"{prefix}.shortcut")
+        p["film_res"] = _film(sd, f"{prefix}.film_res")
+    return p, s
+
+
+def convert_lassnet(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """LASSNet (text-queried extraction) →
+    :class:`audiogpt_tpu.models.extraction.lassnet.LASSNet`.
+
+    Reference layout (``sound_extraction/model/LASSNet.py:7``): HF bert-mini
+    under ``text_embedder.bert_layer.``, the CLS projection
+    ``text_embedder.linear_layer.0``, and the FiLM res-U-Net under ``UNet.``
+    (``resunet_film.py:4``: encoder_block1-6 / conv_block7 /
+    decoder_block1-6 / after_conv_block1 / after_conv2). Ckpts are saved
+    from an ``nn.DataParallel`` wrapper → 'module.' is stripped.
+    """
+    sd = {k.removeprefix("module."): np.asarray(v) for k, v in sd.items()}
+    bert = convert_bert(
+        {k.removeprefix("text_embedder.bert_layer."): v for k, v in sd.items()
+         if k.startswith("text_embedder.bert_layer.")}, cfg.bert)["params"]
+    params: dict = {"text_encoder": bert,
+                    "text_proj": _dense(sd, "text_embedder.linear_layer.0")}
+    unet_p: dict = {}
+    unet_s: dict = {}
+    cin = 1
+    for i, ch in enumerate(cfg.enc_channels):
+        ep: dict = {}
+        es: dict = {}
+        for j, cb_in in ((1, cin), (2, ch)):
+            ep[f"cb{j}"], es[f"cb{j}"] = _cbr_cond(
+                sd, f"UNet.encoder_block{i + 1}.conv_block{j}",
+                has_shortcut=cb_in != ch)
+        unet_p[f"enc_{i}"], unet_s[f"enc_{i}"] = ep, es
+        cin = ch
+    unet_p["center"], unet_s["center"] = _cbr_cond(
+        sd, "UNet.conv_block7", has_shortcut=False)
+    dec_channels = (384, 384, 256, 128, 64, 32)
+    cin = cfg.enc_channels[-1]
+    for i, ch in enumerate(dec_channels):
+        blk = f"UNet.decoder_block{i + 1}"
+        w = np.asarray(sd[f"{blk}.conv1.weight"])  # [in, out, kh, kw]
+        dp: dict = {"convT": {"kernel": w.transpose(2, 3, 1, 0)
+                              .astype(np.float32)}}
+        ds: dict = {}
+        dp["bn1"], ds["bn1"] = _bn(sd, f"{blk}.bn1")
+        # conv_block2 input is cat(up, skip) = 2*ch channels → shortcut
+        dp["cb2"], ds["cb2"] = _cbr_cond(sd, f"{blk}.conv_block2", True)
+        dp["cb3"], ds["cb3"] = _cbr_cond(sd, f"{blk}.conv_block3", False)
+        unet_p[f"dec_{i}"], unet_s[f"dec_{i}"] = dp, ds
+        cin = ch
+    unet_p["after_cb"], unet_s["after_cb"] = _cbr_cond(
+        sd, "UNet.after_conv_block1", has_shortcut=False)
+    unet_p["after_conv"] = _conv2d(sd, "UNet.after_conv2")
+    params["unet"] = unet_p
+    return {"params": params, "batch_stats": {"unet": unet_s}}
+
+
+def convert_tsd(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """CDur_CNN14 target-sound detector
+    (``audio_detection/target_sound_detection/src/models.py:964``) →
+    :class:`audiogpt_tpu.models.sed.tsd.TSDModel`: Cnn10 feature blocks
+    ``features.conv_block{1-4}`` → ``b{0-3}_conv/bn``, the bidirectional
+    ``gru``, and the ``fc``/``outputlayer`` heads."""
+    sd = {k.removeprefix("model."): np.asarray(v) for k, v in sd.items()}
+    params: dict = {}
+    stats: dict = {}
+    for b in range(len(cfg.channels)):
+        blk = f"features.conv_block{b + 1}"
+        for j in (1, 2):
+            params[f"b{b}_conv{j}"] = _conv2d(sd, f"{blk}.conv{j}")
+            p, s = _bn(sd, f"{blk}.bn{j}")
+            params[f"b{b}_bn{j}"], stats[f"b{b}_bn{j}"] = p, s
+    params["gru"] = _gru(sd, "gru", bidirectional=True)
+    params["fc"] = _dense(sd, "fc")
+    params["outputlayer"] = _dense(sd, "outputlayer")
+    return {"params": params, "batch_stats": stats}

@@ -115,3 +115,38 @@ def add_mka_path():
 
 def state_dict_numpy(module):
     return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+
+def add_sound_extraction_path():
+    p = f"{_REF}/sound_extraction"
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+
+def _shim_torchlibrosa():
+    """Fake torchlibrosa so TSD models.py imports; CDur paths don't call it."""
+    if "torchlibrosa" in sys.modules:
+        return
+    import importlib.machinery
+
+    def _mod(name):
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        return m
+
+    fake = _mod("torchlibrosa")
+    fake.augmentation = _mod("torchlibrosa.augmentation")
+    fake.stft = _mod("torchlibrosa.stft")
+    fake.augmentation.SpecAugmentation = object
+    fake.stft.Spectrogram = object
+    fake.stft.LogmelFilterBank = object
+    sys.modules["torchlibrosa"] = fake
+    sys.modules["torchlibrosa.augmentation"] = fake.augmentation
+    sys.modules["torchlibrosa.stft"] = fake.stft
+
+
+def add_tsd_path():
+    _shim_torchlibrosa()
+    p = f"{_REF}/audio_detection"
+    if p not in sys.path:
+        sys.path.insert(0, p)

@@ -230,3 +230,256 @@ def test_caption_converter_tree_matches():
     out = model.apply(got, jnp.zeros((1, 32000)),
                       jnp.zeros((1, 4), jnp.int32))
     assert np.isfinite(np.asarray(jax.tree.leaves(out)[0])).all()
+
+
+def test_pvt_import_parity():
+    """PVT SED converter: a torch module with the reference's exact layer
+    names/math (audio_detection/audio_infer/pytorch/models.py:141 PVT +
+    :619-935 PVTv2 internals — q/kv SR-attention, mix-FFN dwconv, overlap
+    patch embeds padded k//3) → convert('pvt') → framewise/clipwise parity
+    on the post-mel path (both sides consume the same log-mel)."""
+    import jax
+    import jax.numpy as jnp
+    from torch import nn
+
+    from audiogpt_tpu.dsp.mel import log_mel
+    from audiogpt_tpu.import_ckpt import convert
+    from audiogpt_tpu.models.sed.pvt import PVTConfig, PVTSED
+
+    cfg = PVTConfig(classes_num=5, embed_dims=(8, 16), depths=(1, 2),
+                    num_heads=(1, 2), mlp_ratios=(2, 2), sr_ratios=(2, 1))
+
+    class Attn(nn.Module):
+        def __init__(self, dim, heads, sr):
+            super().__init__()
+            self.heads, self.sr_ratio = heads, sr
+            self.q = nn.Linear(dim, dim, bias=True)
+            self.kv = nn.Linear(dim, dim * 2, bias=True)
+            self.proj = nn.Linear(dim, dim)
+            if sr > 1:
+                self.sr = nn.Conv2d(dim, dim, kernel_size=sr, stride=sr)
+                self.norm = nn.LayerNorm(dim, eps=1e-6)
+
+        def forward(self, x, H, W):
+            B, N, C = x.shape
+            hd = C // self.heads
+            q = self.q(x).reshape(B, N, self.heads, hd).permute(0, 2, 1, 3)
+            if self.sr_ratio > 1:
+                x_ = x.permute(0, 2, 1).reshape(B, C, H, W)
+                x_ = self.sr(x_).reshape(B, C, -1).permute(0, 2, 1)
+                x_ = self.norm(x_)
+            else:
+                x_ = x
+            kv = self.kv(x_).reshape(B, -1, 2, self.heads, hd).permute(
+                2, 0, 3, 1, 4)
+            k, v = kv[0], kv[1]
+            a = (q @ k.transpose(-2, -1)) * hd ** -0.5
+            x = (a.softmax(dim=-1) @ v).transpose(1, 2).reshape(B, N, C)
+            return self.proj(x)
+
+    class Mlp(nn.Module):
+        def __init__(self, dim, ratio):
+            super().__init__()
+            inner = dim * ratio
+            self.fc1 = nn.Linear(dim, inner)
+            self.dwconv = nn.Module()
+            self.dwconv.dwconv = nn.Conv2d(inner, inner, 3, 1, 1, groups=inner)
+            self.fc2 = nn.Linear(inner, dim)
+
+        def forward(self, x, H, W):
+            x = self.fc1(x)
+            B, N, C = x.shape
+            x = self.dwconv.dwconv(
+                x.transpose(1, 2).view(B, C, H, W)).flatten(2).transpose(1, 2)
+            return self.fc2(nn.functional.gelu(x))
+
+    class Block(nn.Module):
+        def __init__(self, dim, heads, sr, ratio):
+            super().__init__()
+            self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+            self.attn = Attn(dim, heads, sr)
+            self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+            self.mlp = Mlp(dim, ratio)
+
+        def forward(self, x, H, W):
+            x = x + self.attn(self.norm1(x), H, W)
+            return x + self.mlp(self.norm2(x), H, W)
+
+    class Embed(nn.Module):
+        def __init__(self, cin, dim, k, s):
+            super().__init__()
+            self.proj = nn.Conv2d(cin, dim, k, s, padding=k // 3)
+            self.norm = nn.LayerNorm(dim, eps=1e-6)
+
+        def forward(self, x):
+            x = self.proj(x)
+            _, _, H, W = x.shape
+            return self.norm(x.flatten(2).transpose(1, 2)), H, W
+
+    class RefPVT(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.bn0 = nn.BatchNorm2d(64)
+            t = nn.Module()
+            cin = 1
+            for i, dim in enumerate(cfg.embed_dims):
+                setattr(t, f"patch_embed{i + 1}",
+                        Embed(cin, dim, 7 if i == 0 else 3, 4 if i == 0 else 2))
+                setattr(t, f"block{i + 1}", nn.ModuleList(
+                    [Block(dim, cfg.num_heads[i], cfg.sr_ratios[i],
+                           cfg.mlp_ratios[i]) for _ in range(cfg.depths[i])]))
+                setattr(t, f"norm{i + 1}", nn.LayerNorm(dim, eps=1e-6))
+                cin = dim
+            self.pvt_transformer = t
+            self.fc_audioset = nn.Linear(cfg.embed_dims[-1], cfg.classes_num)
+
+        def forward(self, mel):                       # [B, 1, T, 64]
+            x = self.bn0(mel.transpose(1, 3)).transpose(1, 3)
+            B = x.shape[0]
+            for i in range(len(cfg.embed_dims)):
+                t = self.pvt_transformer
+                x, H, W = getattr(t, f"patch_embed{i + 1}")(x)
+                for blk in getattr(t, f"block{i + 1}"):
+                    x = blk(x, H, W)
+                x = getattr(t, f"norm{i + 1}")(x)
+                x = x.reshape(B, H, W, -1).permute(0, 3, 1, 2).contiguous()
+            x = x.mean(dim=3).transpose(1, 2)          # [B, H, C]
+            framewise = torch.sigmoid(self.fc_audioset(x))
+            clip = framewise.mean(dim=1)
+            return framewise, clip
+
+    torch.manual_seed(0)
+    ref = RefPVT().eval()
+    with torch.no_grad():                    # non-trivial running stats
+        ref.bn0.running_mean.uniform_(-0.5, 0.5)
+        ref.bn0.running_var.uniform_(0.5, 2.0)
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()
+          if "num_batches" not in k}
+
+    variables = convert("pvt", sd, cfg)
+    variables = {k: v for k, v in variables.items()}
+
+    rng = np.random.RandomState(0)
+    wav = rng.randn(1, 32000).astype(np.float32) * 0.1
+    mel = log_mel(jnp.asarray(wav), cfg.mel)
+    with torch.no_grad():
+        fw_ref, clip_ref = ref(torch.from_numpy(np.asarray(mel))[:, None])
+    fw_ref = np.repeat(fw_ref.numpy(), cfg.interpolate_ratio, axis=1)
+
+    out = PVTSED(cfg).apply(jax.tree.map(jnp.asarray, variables),
+                            jnp.asarray(wav))
+    n = min(fw_ref.shape[1], out["framewise_output"].shape[1])
+    np.testing.assert_allclose(np.asarray(out["framewise_output"])[:, :n],
+                               fw_ref[:, :n], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["clipwise_output"]),
+                               clip_ref.numpy(), atol=2e-4)
+
+
+def test_lassnet_import_parity():
+    """LASSNet converter: reference UNetRes_FiLM (imported from the reference
+    tree) + a tiny offline HF BertModel → convert('lassnet') → full
+    text+spectrogram forward parity (sound_extraction/model/LASSNet.py:7:
+    bert CLS → linear/relu → FiLM U-Net → sigmoid mask)."""
+    import jax
+    import jax.numpy as jnp
+    from transformers import BertConfig as HFConfig, BertModel
+
+    import ref_torch as rt
+    rt.add_sound_extraction_path()
+    from model.resunet_film import UNetRes_FiLM
+
+    from audiogpt_tpu.import_ckpt import convert
+    from audiogpt_tpu.models.extraction.lassnet import LASSNet, LASSNetConfig
+    from audiogpt_tpu.models.textenc.bert import BertConfig
+
+    torch.manual_seed(0)
+    cond_dim = 8
+    hf = HFConfig(vocab_size=50, hidden_size=16, num_hidden_layers=1,
+                  num_attention_heads=2, intermediate_size=32,
+                  max_position_embeddings=32)
+    bert_ref = BertModel(hf, add_pooling_layer=False).eval()
+    proj_ref = torch.nn.Linear(16, cond_dim)
+    unet_ref = UNetRes_FiLM(channels=1, cond_embedding_dim=cond_dim).eval()
+    with torch.no_grad():
+        for m in unet_ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 2.0)
+
+    sd = {}
+    for k, v in bert_ref.state_dict().items():
+        sd[f"text_embedder.bert_layer.{k}"] = v.numpy()
+    sd["text_embedder.linear_layer.0.weight"] = proj_ref.weight.detach().numpy()
+    sd["text_embedder.linear_layer.0.bias"] = proj_ref.bias.detach().numpy()
+    for k, v in unet_ref.state_dict().items():
+        if "num_batches" not in k:
+            sd[f"UNet.{k}"] = v.numpy()
+
+    cfg = LASSNetConfig(
+        bert=BertConfig(vocab_size=50, hidden_size=16, num_layers=1,
+                        num_heads=2, intermediate_size=32, max_position=32),
+        cond_dim=cond_dim)
+    variables = convert("lassnet", sd, cfg)
+
+    model = LASSNet(cfg)
+    ref_tree = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 513)),
+                          jnp.zeros((1, 6), jnp.int32))
+    got = jax.tree.map(jnp.asarray, variables)
+    assert jax.tree.structure(ref_tree) == jax.tree.structure(got)
+
+    rng = np.random.RandomState(0)
+    sp = np.abs(rng.randn(1, 8, 513)).astype(np.float32)
+    ids = rng.randint(0, 50, size=(1, 6)).astype(np.int64)
+    with torch.no_grad():
+        cls = bert_ref(input_ids=torch.from_numpy(ids),
+                       attention_mask=torch.ones(1, 6, dtype=torch.long)
+                       ).last_hidden_state[:, 0]
+        cond = torch.relu(proj_ref(cls))
+        logits = unet_ref(torch.from_numpy(sp)[:, None], cond, cond)
+        mask_ref = torch.sigmoid(logits).numpy()[:, 0]
+
+    mask = np.asarray(model.apply(got, jnp.asarray(sp),
+                                  jnp.asarray(ids.astype(np.int32))))
+    np.testing.assert_allclose(mask, mask_ref, atol=2e-4)
+
+
+def test_tsd_import_parity():
+    """CDur_CNN14 converter: the reference model (imported from the
+    reference tree, torchlibrosa shimmed) → convert('tsd') → decision
+    parity on a random mel + conditioning embedding."""
+    import jax
+    import jax.numpy as jnp
+
+    import ref_torch as rt
+    rt.add_tsd_path()
+    from target_sound_detection.src.models import CDur_CNN14
+
+    from audiogpt_tpu.import_ckpt import convert
+    from audiogpt_tpu.models.sed.tsd import TSDConfig, TSDModel
+
+    torch.manual_seed(0)
+    ref = CDur_CNN14(inputdim=64, outputdim=2, time_resolution=125).eval()
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 2.0)
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()
+          if "num_batches" not in k}
+
+    cfg = TSDConfig(scale=8)
+    variables = convert("tsd", sd, cfg)
+    model = TSDModel(cfg)
+    got = jax.tree.map(jnp.asarray, variables)
+    ref_tree = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 500, 64)),
+                          jnp.zeros((1, 128)))
+    assert jax.tree.structure(ref_tree) == jax.tree.structure(got)
+
+    rng = np.random.RandomState(0)
+    mel = rng.randn(1, 500, 64).astype(np.float32)
+    emb = rng.randn(1, 128).astype(np.float32)
+    with torch.no_grad():
+        dt_ref, up_ref = ref(torch.from_numpy(mel), torch.from_numpy(emb))
+    dt, up = model.apply(got, jnp.asarray(mel), jnp.asarray(emb))
+    np.testing.assert_allclose(np.asarray(dt), dt_ref.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(up), up_ref.numpy(), atol=2e-4)
