@@ -63,6 +63,10 @@ def convert(family: str, sd: Mapping[str, np.ndarray], cfg: Any) -> dict:
         "pvt": ti.convert_pvt,
         "lassnet": ti.convert_lassnet,
         "tsd": ti.convert_tsd,
+        "binaural": ti.convert_binaural,
+        "clip_vision": ti.convert_clip_vision,
+        "clip_text_tower": ti.convert_clip_text_tower,
+        "diffsinger": ti.convert_diffsinger,
     }
     if family not in table:
         raise KeyError(f"unknown family {family!r}; have {sorted(table)}")
@@ -127,6 +131,21 @@ def default_config(family: str) -> Any:
         from audiogpt_tpu.models.sed.tsd import TSDConfig
 
         return TSDConfig()
+    if family == "binaural":
+        from audiogpt_tpu.models.binaural import BinauralConfig
+
+        return BinauralConfig()
+    if family in ("clip_vision", "clip_text_tower"):
+        from audiogpt_tpu.models.textenc.clip import (
+            CLIPTextConfig, CLIPVisionConfig,
+        )
+
+        return (CLIPVisionConfig() if family == "clip_vision"
+                else CLIPTextConfig())
+    if family == "diffsinger":
+        from audiogpt_tpu.models.svs.diffsinger import DiffSingerConfig
+
+        return DiffSingerConfig()
     raise KeyError(family)
 
 

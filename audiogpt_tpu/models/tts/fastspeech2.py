@@ -322,10 +322,13 @@ class FastSpeech2(nn.Module):
                 x = x + self.is_slur_embed(is_slur)
         if cfg.rel_pos:
             # ESPnet RelPositionalEncoding (espnet_positional_embedding.py:89):
-            # x*sqrt(d) + reversed interleaved sin/cos table
+            # x*sqrt(d) + reversed interleaved sin/cos table. The reference
+            # builds the reversed table once at max_len=5000 and slices its
+            # head, so row i carries position 4999-i (extend_pe never
+            # re-runs for shorter inputs) — matched here for weight parity.
             t = tokens.shape[1]
             d = cfg.hidden_size
-            pos = jnp.arange(t - 1, -1, -1.0)[:, None]
+            pos = jnp.arange(4999, 4999 - t, -1.0)[:, None]
             div = jnp.exp(jnp.arange(0, d, 2) * -(math.log(10000.0) / d))
             pe = jnp.zeros((t, d))
             pe = pe.at[:, 0::2].set(jnp.sin(pos * div))

@@ -264,6 +264,11 @@ def convert_fastspeech2(sd: Mapping[str, np.ndarray], cfg) -> dict:
             sd, "energy_predictor", cfg.predictor_layers, pos_alpha=True)
     if cfg.num_spk > 0 and "spk_embed_proj.weight" in sd:
         p["spk_embed"] = {"embedding": sd["spk_embed_proj.weight"].astype(np.float32)}
+    if getattr(cfg, "use_midi", False):
+        # FastSpeech2MIDI extras (modules/diffsinger_midi/fs2.py:51-53)
+        p["midi_embed"] = {"embedding": sd["midi_embed.weight"].astype(np.float32)}
+        p["midi_dur_layer"] = _dense(sd, "midi_dur_layer")
+        p["is_slur_embed"] = {"embedding": sd["is_slur_embed.weight"].astype(np.float32)}
     return {"params": p}
 
 
@@ -799,3 +804,91 @@ def convert_tsd(sd: Mapping[str, np.ndarray], cfg) -> dict:
     params["fc"] = _dense(sd, "fc")
     params["outputlayer"] = _dense(sd, "outputlayer")
     return {"params": params, "batch_stats": stats}
+
+
+def convert_binaural(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """BinauralNetwork (``mono2binaural/src/models.py:86``) →
+    :class:`audiogpt_tpu.models.binaural.binaural.BinauralNetwork`. Only the
+    Warpnet has parameters (``warper.layers.{i}`` k2 causal convs +
+    ``warper.linear`` k1 head); the geometric warper and the monotone time
+    warper are parameter-free math."""
+    sd = {k.removeprefix("module."): np.asarray(v) for k, v in sd.items()}
+    params: dict = {}
+    for i in range(cfg.warpnet_layers):
+        params[f"warp_conv_{i}"] = _conv1d(sd, f"warper.layers.{i}")
+    params["warp_linear"] = _conv1d(sd, "warper.linear")
+    return {"params": params}
+
+
+def _clip_resblock(sd, prefix):
+    """open_clip ResidualAttentionBlock (packed-in-proj MHA + c_fc/c_proj
+    quick-GELU MLP) → our :class:`models.textenc.clip.ResidualBlock`."""
+    return {
+        "ln_1": _ln(sd, f"{prefix}.ln_1"),
+        "in_proj": {
+            "kernel": np.asarray(sd[f"{prefix}.attn.in_proj_weight"]
+                                 ).T.astype(np.float32),
+            "bias": np.asarray(sd[f"{prefix}.attn.in_proj_bias"]
+                               ).astype(np.float32),
+        },
+        "out_proj": _dense(sd, f"{prefix}.attn.out_proj"),
+        "ln_2": _ln(sd, f"{prefix}.ln_2"),
+        "mlp_fc": _dense(sd, f"{prefix}.mlp.c_fc"),
+        "mlp_proj": _dense(sd, f"{prefix}.mlp.c_proj"),
+    }
+
+
+def convert_clip_vision(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """open_clip ``visual.`` tower (the I2A conditioner,
+    ``ldm/modules/encoders/modules.py:315`` wraps ViT-H-14) →
+    :class:`audiogpt_tpu.models.textenc.clip.CLIPVisionEncoder`."""
+    sd = {k.removeprefix("model.").removeprefix("visual."): np.asarray(v)
+          for k, v in sd.items() if "visual." in k or not k.startswith(
+              ("transformer.", "token_embedding", "text_projection",
+               "positional_embedding", "ln_final", "logit_scale"))}
+    p: dict = {
+        "patch_embed": {"kernel": np.asarray(sd["conv1.weight"])
+                        .transpose(2, 3, 1, 0).astype(np.float32)},
+        "class_embedding": np.asarray(sd["class_embedding"]).astype(np.float32),
+        "positional_embedding": np.asarray(sd["positional_embedding"]
+                                           ).astype(np.float32),
+        "ln_pre": _ln(sd, "ln_pre"),
+        "ln_post": _ln(sd, "ln_post"),
+        "proj": np.asarray(sd["proj"]).astype(np.float32),
+    }
+    for i in range(cfg.layers):
+        p[f"block{i}"] = _clip_resblock(sd, f"transformer.resblocks.{i}")
+    return {"params": p}
+
+
+def convert_clip_text_tower(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """open_clip text tower → :class:`CLIPTextTower` (EOT pooling)."""
+    sd = {k.removeprefix("model."): np.asarray(v) for k, v in sd.items()
+          if not k.startswith(("visual.", "model.visual."))}
+    p: dict = {
+        "token_embedding": {"embedding": np.asarray(
+            sd["token_embedding.weight"]).astype(np.float32)},
+        "positional_embedding": np.asarray(sd["positional_embedding"]
+                                           ).astype(np.float32),
+        "ln_final": _ln(sd, "ln_final"),
+        "text_projection": np.asarray(sd["text_projection"]).astype(np.float32),
+    }
+    for i in range(cfg.layers):
+        p[f"block{i}"] = _clip_resblock(sd, f"transformer.resblocks.{i}")
+    return {"params": p}
+
+
+def convert_diffsinger(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """Full DiffSinger E2E checkpoint (``GaussianDiffusion`` with the
+    FastSpeech2MIDI conditioner under ``fs2.`` and the WaveNet denoiser under
+    ``denoise_fn.``, ``modules/diff/shallow_diffusion_tts.py:71``) →
+    :class:`audiogpt_tpu.models.svs.diffsinger.DiffSinger` (submodules
+    ``fs2`` / ``denoiser``)."""
+    sd = {k.removeprefix("model."): np.asarray(v) for k, v in sd.items()}
+    fs2 = convert_fastspeech2(
+        {k.removeprefix("fs2."): v for k, v in sd.items()
+         if k.startswith("fs2.")}, cfg.fs2)["params"]
+    net = convert_diffnet(
+        {k: v for k, v in sd.items() if k.startswith("denoise_fn.")},
+        cfg.net)["params"]
+    return {"params": {"fs2": fs2, "denoiser": net}}

@@ -483,3 +483,278 @@ def test_tsd_import_parity():
     dt, up = model.apply(got, jnp.asarray(mel), jnp.asarray(emb))
     np.testing.assert_allclose(np.asarray(dt), dt_ref.numpy(), atol=2e-4)
     np.testing.assert_allclose(np.asarray(up), up_ref.numpy(), atol=2e-4)
+
+
+def test_binaural_import_parity():
+    """BinauralNetwork converter: the reference net (imported from
+    mono2binaural/src) → convert('binaural') → binaural output parity
+    (geometric + neural warpfields, monotone time warp)."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/reference/mono2binaural")
+    from src.models import BinauralNetwork as RefNet
+
+    from audiogpt_tpu.import_ckpt import convert
+    from audiogpt_tpu.models.binaural import BinauralConfig, BinauralNetwork
+
+    torch.manual_seed(0)
+    ref = RefNet(warpnet_layers=2, warpnet_channels=8, use_cuda=False).eval()
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+
+    cfg = BinauralConfig(warpnet_layers=2, warpnet_channels=8)
+    variables = convert("binaural", sd, cfg)
+    model = BinauralNetwork(cfg)
+
+    rng = np.random.RandomState(0)
+    t, k = 4000, 10
+    mono = rng.randn(1, t).astype(np.float32) * 0.1
+    view = rng.randn(1, 7, k).astype(np.float32) * 0.1
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(mono[:, None]),
+                    torch.from_numpy(view)).numpy()
+
+    got = jax.tree.map(jnp.asarray, variables)
+    ref_tree = model.init(jax.random.PRNGKey(0), jnp.zeros((1, t)),
+                          jnp.zeros((1, 7, k)))
+    assert jax.tree.structure(ref_tree) == jax.tree.structure(got)
+    y = np.asarray(model.apply(got, jnp.asarray(mono), jnp.asarray(view)))
+    np.testing.assert_allclose(y, y_ref, atol=2e-4)
+
+
+class _OpenCLIPBlock(torch.nn.Module):
+    """torch replica with open_clip's exact names/math
+    (ResidualAttentionBlock: pre-LN packed-in-proj MHA + quick-GELU MLP)."""
+
+    def __init__(self, d, heads):
+        super().__init__()
+        from collections import OrderedDict
+        self.ln_1 = torch.nn.LayerNorm(d)
+        self.attn = torch.nn.MultiheadAttention(d, heads)
+        self.ln_2 = torch.nn.LayerNorm(d)
+        self.mlp = torch.nn.Sequential(OrderedDict(
+            [("c_fc", torch.nn.Linear(d, 4 * d)),
+             ("c_proj", torch.nn.Linear(4 * d, d))]))
+
+    def forward(self, x, attn_mask=None):  # x [L, B, D]
+        h = self.ln_1(x)
+        a, _ = self.attn(h, h, h, need_weights=False, attn_mask=attn_mask)
+        x = x + a
+        h = self.mlp.c_fc(self.ln_2(x))
+        return x + self.mlp.c_proj(h * torch.sigmoid(1.702 * h))
+
+
+def test_clip_vision_import_parity():
+    """open_clip visual tower converter → CLIPVisionEncoder output parity
+    (patch conv, cls+pos, pre-LN blocks, ln_post[CLS] @ proj, L2 norm)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiogpt_tpu.import_ckpt import convert
+    from audiogpt_tpu.models.textenc.clip import (
+        CLIPVisionConfig, CLIPVisionEncoder,
+    )
+
+    torch.manual_seed(0)
+    cfg = CLIPVisionConfig(image_size=8, patch_size=4, width=16, layers=2,
+                           heads=2, embed_dim=12)
+    n = (cfg.image_size // cfg.patch_size) ** 2
+    conv1 = torch.nn.Conv2d(3, cfg.width, cfg.patch_size, cfg.patch_size,
+                            bias=False)
+    blocks = torch.nn.ModuleList(
+        [_OpenCLIPBlock(cfg.width, cfg.heads) for _ in range(cfg.layers)])
+    ln_pre, ln_post = torch.nn.LayerNorm(16), torch.nn.LayerNorm(16)
+    cls_emb = torch.randn(cfg.width) * 0.1
+    pos_emb = torch.randn(n + 1, cfg.width) * 0.1
+    proj = torch.randn(cfg.width, cfg.embed_dim) * 0.2
+    for ln in (ln_pre, ln_post):
+        torch.nn.init.normal_(ln.weight, 1.0, 0.1)
+        torch.nn.init.normal_(ln.bias, 0.0, 0.1)
+
+    sd = {"visual.conv1.weight": conv1.weight.detach().numpy(),
+          "visual.class_embedding": cls_emb.numpy(),
+          "visual.positional_embedding": pos_emb.numpy(),
+          "visual.proj": proj.numpy()}
+    for pre, m in (("visual.ln_pre", ln_pre), ("visual.ln_post", ln_post)):
+        sd[f"{pre}.weight"] = m.weight.detach().numpy()
+        sd[f"{pre}.bias"] = m.bias.detach().numpy()
+    for i, b in enumerate(blocks):
+        for k, v in b.state_dict().items():
+            sd[f"visual.transformer.resblocks.{i}.{k}"] = v.numpy()
+
+    variables = convert("clip_vision", sd, cfg)
+    img = torch.randn(2, 3, 8, 8)
+    with torch.no_grad():
+        x = conv1(img).reshape(2, cfg.width, n).permute(0, 2, 1)
+        x = torch.cat([cls_emb[None, None].expand(2, 1, -1), x], dim=1)
+        x = ln_pre(x + pos_emb[None])
+        x = x.permute(1, 0, 2)
+        for b in blocks:
+            x = b(x)
+        z = ln_post(x.permute(1, 0, 2)[:, 0]) @ proj
+        z_ref = (z / z.norm(dim=-1, keepdim=True)).numpy()
+
+    import numpy as _np
+    model = CLIPVisionEncoder(cfg)
+    z = model.apply(jax.tree.map(jnp.asarray, variables),
+                    jnp.asarray(img.permute(0, 2, 3, 1).numpy()))
+    _np.testing.assert_allclose(_np.asarray(z), z_ref, atol=2e-5)
+
+
+def test_clip_text_import_parity():
+    """open_clip text tower converter → CLIPTextTower parity (causal blocks,
+    EOT-argmax pooling, text_projection, L2 norm)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiogpt_tpu.import_ckpt import convert
+    from audiogpt_tpu.models.textenc.clip import CLIPTextConfig, CLIPTextTower
+
+    torch.manual_seed(1)
+    cfg = CLIPTextConfig(vocab_size=60, context_length=10, width=16,
+                         layers=2, heads=2, embed_dim=12)
+    tok_emb = torch.randn(cfg.vocab_size, cfg.width) * 0.1
+    pos_emb = torch.randn(cfg.context_length, cfg.width) * 0.1
+    blocks = torch.nn.ModuleList(
+        [_OpenCLIPBlock(cfg.width, cfg.heads) for _ in range(cfg.layers)])
+    ln_final = torch.nn.LayerNorm(cfg.width)
+    torch.nn.init.normal_(ln_final.weight, 1.0, 0.1)
+    proj = torch.randn(cfg.width, cfg.embed_dim) * 0.2
+
+    sd = {"token_embedding.weight": tok_emb.numpy(),
+          "positional_embedding": pos_emb.numpy(),
+          "text_projection": proj.numpy(),
+          "ln_final.weight": ln_final.weight.detach().numpy(),
+          "ln_final.bias": ln_final.bias.detach().numpy()}
+    for i, b in enumerate(blocks):
+        for k, v in b.state_dict().items():
+            sd[f"transformer.resblocks.{i}.{k}"] = v.numpy()
+
+    variables = convert("clip_text_tower", sd, cfg)
+    ids = np.array([[5, 9, 30, 59, 2, 1, 0, 0, 0, 0],
+                    [7, 59, 0, 0, 0, 0, 0, 0, 0, 0]], np.int64)
+    L = ids.shape[1]
+    causal = torch.full((L, L), float("-inf")).triu(1)
+    with torch.no_grad():
+        x = tok_emb[torch.from_numpy(ids)] + pos_emb[None]
+        x = x.permute(1, 0, 2)
+        for b in blocks:
+            x = b(x, attn_mask=causal)
+        x = ln_final(x.permute(1, 0, 2))
+        eot = ids.argmax(axis=-1)
+        z = x[torch.arange(2), torch.from_numpy(eot)] @ proj
+        z_ref = (z / z.norm(dim=-1, keepdim=True)).numpy()
+
+    model = CLIPTextTower(cfg)
+    z = model.apply(jax.tree.map(jnp.asarray, variables),
+                    jnp.asarray(ids.astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(z), z_ref, atol=2e-5)
+
+
+def test_diffsinger_full_ckpt_import_parity():
+    """Full DiffSinger E2E ckpt (FastSpeech2MIDI conditioner + DiffNet
+    denoiser, reference classes imported with opencpop-e2e hparams) →
+    convert('diffsinger') → conditioner + denoiser output parity."""
+    import jax
+    import jax.numpy as jnp
+
+    ref_torch.add_neuralseq_path()
+    from utils.hparams import hparams as H
+
+    H.clear()
+    H.update({
+        "hidden_size": 24, "enc_layers": 2, "dec_layers": 2, "num_heads": 2,
+        "enc_ffn_kernel_size": 9, "dec_ffn_kernel_size": 9,
+        "encoder_type": "fft", "decoder_type": "fft",
+        "use_spk_id": False, "use_split_spk_id": False, "use_spk_embed": False,
+        "use_pitch_embed": False, "use_energy_embed": False,
+        "pitch_type": "frame", "pitch_norm": "standard", "use_uv": True,
+        "pitch_ar": False, "f0_mean": 200.0, "f0_std": 60.0,
+        "predictor_hidden": 24, "predictor_layers": 2, "predictor_kernel": 5,
+        "predictor_dropout": 0.0, "predictor_grad": 0.1,
+        "dur_predictor_layers": 2, "dur_predictor_kernel": 3,
+        "dur_loss": "mse", "dropout": 0.0, "ffn_act": "gelu",
+        "ffn_padding": "SAME", "audio_num_mel_bins": 16,
+        "use_pos_embed": True, "use_bert": False, "rel_pos": True,
+        "residual_layers": 4, "residual_channels": 16,
+        "dilation_cycle_length": 2,
+    })
+    from modules.diffsinger_midi.fs2 import FastSpeech2MIDI
+    from modules.diff.net import DiffNet as RefDiffNet
+
+    from audiogpt_tpu.import_ckpt import convert
+    from audiogpt_tpu.models.svs.diffsinger import (
+        DiffNetConfig, DiffSinger, DiffSingerConfig,
+    )
+    from audiogpt_tpu.models.tts.fastspeech2 import FastSpeech2Config
+
+    class FakeDict:
+        def __len__(self):
+            return 50
+
+        def pad(self):
+            return 0
+
+    torch.manual_seed(0)
+    fs2_ref = FastSpeech2MIDI(FakeDict(), out_dims=16).eval()
+    net_ref = RefDiffNet(in_dims=16).eval()
+    sd = {}
+    for k, v in fs2_ref.state_dict().items():
+        sd[f"model.fs2.{k}"] = v.numpy()
+    for k, v in net_ref.state_dict().items():
+        sd[f"model.denoise_fn.{k}"] = v.numpy()
+
+    cfg = DiffSingerConfig(
+        fs2=FastSpeech2Config(vocab_size=50, hidden_size=24, enc_layers=2,
+                              dec_layers=2, num_heads=2, n_mels=16,
+                              predictor_hidden=24, predictor_layers=2,
+                              dropout=0.0, use_pitch_embed=False,
+                              use_midi=True, rel_pos=True, max_frames=64,
+                              predictor_mask_pad=False),
+        net=DiffNetConfig(mel_bins=16, encoder_hidden=24, residual_layers=4,
+                          residual_channels=16, dilation_cycle_length=2),
+        spec_min=(-6.0,) * 16, spec_max=(1.5,) * 16)
+    variables = convert("diffsinger", sd, cfg)
+    model = DiffSinger(cfg)
+    got = jax.tree.map(jnp.asarray, variables)
+
+    rng = np.random.RandomState(0)
+    tokens = np.array([[3, 7, 12, 20, 5, 0, 0, 0]], np.int64)
+    midi = np.array([[60, 62, 64, 0, 65, 0, 0, 0]], np.int64)
+    midi_dur = rng.rand(1, 8).astype(np.float32)
+    slur = np.array([[0, 0, 1, 0, 1, 0, 0, 0]], np.int64)
+    mel2ph = np.array([[1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 0, 0]], np.int64)
+
+    with torch.no_grad():
+        ret = fs2_ref(torch.from_numpy(tokens),
+                      mel2ph=torch.from_numpy(mel2ph), infer=False,
+                      pitch_midi=torch.from_numpy(midi),
+                      midi_dur=torch.from_numpy(midi_dur),
+                      is_slur=torch.from_numpy(slur))
+        cond_ref = ret["decoder_inp"].numpy()
+
+    ours = model.apply(got, jnp.asarray(tokens.astype(np.int32)),
+                       mel2ph=jnp.asarray(mel2ph.astype(np.int32)),
+                       pitch_midi=jnp.asarray(midi.astype(np.int32)),
+                       midi_dur=jnp.asarray(midi_dur),
+                       is_slur=jnp.asarray(slur.astype(np.int32)),
+                       method=DiffSinger.conditioner)
+    n = cond_ref.shape[1]
+    np.testing.assert_allclose(np.asarray(ours["decoder_inp"])[:, :n],
+                               cond_ref, atol=2e-4)
+
+    # denoiser parity through the combined tree
+    spec = rng.randn(1, 16, n).astype(np.float32)
+    tt = np.array([7], np.int64)
+    with torch.no_grad():
+        eps_ref = net_ref(torch.from_numpy(spec)[:, None],
+                          torch.from_numpy(tt),
+                          torch.from_numpy(cond_ref.transpose(0, 2, 1))
+                          ).numpy()[:, 0]
+    eps = model.apply(got, jnp.asarray(spec.transpose(0, 2, 1)),
+                      jnp.asarray(tt.astype(np.int32)),
+                      jnp.asarray(cond_ref), method=DiffSinger.denoise)
+    np.testing.assert_allclose(np.asarray(eps).transpose(0, 2, 1), eps_ref,
+                               atol=2e-4)
