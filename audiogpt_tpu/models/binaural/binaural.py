@@ -17,6 +17,7 @@ Chunked streaming (1 s chunks + 1000-sample receptive-field halo,
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -106,6 +107,13 @@ class BinauralNetwork(nn.Module):
         return monotone_warp(stereo, warpfield)
 
 
+@functools.lru_cache(maxsize=4)
+def _binaural_fn(model: BinauralNetwork):
+    """One jitted program per model — a fresh ``jax.jit`` per call would
+    re-trace/re-compile every request."""
+    return jax.jit(lambda p, m, v: model.apply(p, m, v))
+
+
 def binauralize_chunked(model: BinauralNetwork, params, mono: np.ndarray,
                         view: np.ndarray, chunk_size: int = 48000,
                         rec_field: int = 800) -> np.ndarray:
@@ -115,7 +123,7 @@ def binauralize_chunked(model: BinauralNetwork, params, mono: np.ndarray,
     t = (mono.shape[-1] // div) * div
     mono = mono[:t]
     view = view[:, : t // div]
-    fn = jax.jit(lambda p, m, v: model.apply(p, m, v))
+    fn = _binaural_fn(model)
     outs = []
     for i in range(0, t, chunk_size):
         lo = max(0, i - rec_field)

@@ -16,6 +16,7 @@ reference uses (``audio-chatgpt.py:976-987``).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -137,6 +138,14 @@ class ConvTasNet(nn.Module):
         return y.reshape(wav.shape[0], cfg.n_src, t_in)
 
 
+@functools.lru_cache(maxsize=8)
+def _sep_fn(model: ConvTasNet):
+    """One jitted program per model (ConvTasNet is a hashable dataclass
+    module). A fresh ``jax.jit`` wrapper per call would re-trace and
+    re-compile every request — the 1.3 s/call bug this replaces."""
+    return jax.jit(lambda p, x: model.apply(p, x))
+
+
 def separate_streaming(model: ConvTasNet, params, wav: np.ndarray,
                        segment_sec: float = 2.4, hop_sec: float = 0.8,
                        max_chunk_batch: int = 64) -> np.ndarray:
@@ -146,16 +155,23 @@ def separate_streaming(model: ConvTasNet, params, wav: np.ndarray,
     All overlap chunks run as ONE batched device call (padded to a dyadic
     chunk-count bucket so long inputs reuse a handful of compilations) —
     the reference streams chunk-by-chunk on GPU; per-chunk dispatch would
-    waste the TPU on overhead."""
+    waste the TPU on overhead. Short inputs pad up to a dyadic sample
+    bucket (one compile per bucket, never per length)."""
     cfg = model.cfg
     sr = cfg.sample_rate
     seg = int(segment_sec * sr)
     hop = int(hop_sec * sr)
     t = len(wav)
+    fn = _sep_fn(model)
     if t <= seg:
-        out = np.asarray(model.apply(params, jnp.asarray(wav[None])))[0]
-        return out
-    fn = jax.jit(lambda p, x: model.apply(p, x))
+        bucket = max(sr // 4, 1 << (max(t - 1, 1)).bit_length())
+        bucket = min(bucket, seg)
+        if bucket < t:
+            bucket = t  # seg not dyadic; the single over-size case
+        padded = np.zeros(bucket, np.float32)
+        padded[:t] = wav
+        out = np.asarray(fn(params, jnp.asarray(padded[None])))[0]
+        return out[:, :t]
 
     starts = list(range(0, t - seg + hop, hop))
     chunks = np.zeros((len(starts), seg), np.float32)
