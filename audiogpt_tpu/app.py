@@ -198,6 +198,10 @@ def main(argv=None):
                     help="persistent XLA compilation cache (large models "
                          "compile in minutes cold; cached startups are "
                          "seconds)")
+    ap.add_argument("--microbatch", type=float, default=None, metavar="MS",
+                    help="enable cross-request micro-batching for the TTS "
+                         "engine with the given linger window in ms "
+                         "(concurrent requests share one device call)")
     ap.add_argument("--ckpt", action="append", default=[],
                     metavar="ENGINE=DIR",
                     help="load an orbax params dir (import_ckpt / trainer "
@@ -225,6 +229,11 @@ def main(argv=None):
         llm = ScriptedLLM([])  # echo/demo mode: always answers directly
     engines = build_engines(args.engines)
     load_engine_ckpts(engines, args.ckpt)
+    if args.microbatch is not None and "tts" in engines:
+        from audiogpt_tpu.serving.batcher import BatchedTTS
+
+        engines["tts"] = BatchedTTS(engines["tts"],
+                                    window_ms=args.microbatch)
     asr_fn = tts_fn = None
     if "asr" in engines:
         from audiogpt_tpu.utils.audio_io import load_wav

@@ -149,6 +149,39 @@ class TTSEngine(Engine):
         at clause boundaries and joined with short gaps."""
         return synthesize_long(self, text)
 
+    def batch_synthesize(self, texts: list[str]) -> list[np.ndarray]:
+        """Many texts → waveforms through ONE text→mel call and ONE vocoder
+        call (cross-request micro-batching entry point; see
+        :class:`audiogpt_tpu.serving.batcher.MicroBatcher`). Texts beyond
+        the largest token bucket fall back to chunked single synthesis."""
+        ids = [np.asarray(self.frontend.encode(t), np.int32) for t in texts]
+        top = max(self.bucketer.buckets)
+        out: list[np.ndarray | None] = [None] * len(texts)
+        idx = [i for i, v in enumerate(ids) if len(v) <= top]
+        for i, v in enumerate(ids):
+            if len(v) > top:            # long-form fallback, one at a time
+                out[i] = synthesize_long(self, texts[i])
+        if idx:
+            tb = self.bucketer.bucket(max(len(ids[i]) for i in idx))
+            n = len(idx)
+            nb = 1
+            while nb < n:
+                nb *= 2
+            toks = np.zeros((nb, tb), np.int32)
+            for r, i in enumerate(idx):
+                toks[r, : len(ids[i])] = ids[i]
+            mels = np.asarray(self._fn(self.params, toks))[:n]
+            lens = []
+            for r in range(n):
+                nz = np.nonzero(np.abs(mels[r]).sum(-1) > 0)[0]
+                lens.append(int(nz[-1]) + 1 if len(nz) else 1)
+            mel_max = max(lens)
+            wavs = self.vocoder(mels[:, :mel_max])
+            hop = self.vocoder.hop_size
+            for r, i in enumerate(idx):
+                out[i] = np.asarray(wavs[r][: lens[r] * hop])
+        return out  # type: ignore[return-value]
+
     @property
     def sample_rate(self) -> int:
         return self.vocoder.cfg.sample_rate

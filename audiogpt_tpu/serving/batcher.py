@@ -1,0 +1,123 @@
+"""Cross-request micro-batching for serving.
+
+The reference serves every request through single-item model calls
+(``audio-chatgpt.py`` tools run one input at a time on a dedicated GPU). On
+TPU the dominant per-request cost at serving time is dispatch latency, not
+FLOPs — the MXU is idle-rich, so concurrent requests for the same engine
+should ride ONE batched program call. Engines here already compile batched
+bucket programs (batch dim is part of every bucket ladder), which makes
+micro-batching a pure serving-layer concern:
+
+  * requests enqueue into a per-engine :class:`MicroBatcher`;
+  * a worker thread drains up to ``max_batch`` items, waiting at most
+    ``window_ms`` for stragglers after the first arrival;
+  * the engine's batch function runs once; each caller gets its own result
+    through a future.
+
+No model or engine code changes — any callable ``list[item] -> list[result]``
+can be wrapped.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Callable, Sequence
+
+
+class MicroBatcher:
+    """Batch concurrent calls to ``batch_fn(items) -> results``.
+
+    ``__call__`` blocks until the caller's result is ready; exceptions from
+    ``batch_fn`` propagate to every caller in the affected batch.
+    """
+
+    def __init__(self, batch_fn: Callable[[Sequence[Any]], Sequence[Any]],
+                 max_batch: int = 8, window_ms: float = 8.0,
+                 name: str = "batcher"):
+        self.batch_fn = batch_fn
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1000.0
+        self.name = name
+        self._lock = threading.Lock()
+        self._cond = threading.Condition(self._lock)
+        self._queue: list[tuple[Any, Future]] = []
+        self._closed = False
+        self.batches = 0          # stats: device calls made
+        self.items = 0            # stats: requests served
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name=f"microbatch-{name}")
+        self._worker.start()
+
+    def submit(self, item: Any) -> Future:
+        fut: Future = Future()
+        with self._cond:
+            if self._closed:
+                raise RuntimeError(f"MicroBatcher {self.name!r} is closed")
+            self._queue.append((item, fut))
+            self._cond.notify()
+        return fut
+
+    def __call__(self, item: Any) -> Any:
+        return self.submit(item).result()
+
+    def close(self) -> None:
+        with self._cond:
+            self._closed = True
+            self._cond.notify()
+        self._worker.join(timeout=5.0)
+
+    # -- worker --------------------------------------------------------------
+    def _run(self) -> None:
+        while True:
+            with self._cond:
+                while not self._queue and not self._closed:
+                    self._cond.wait()
+                if self._closed and not self._queue:
+                    return
+                # first item arrived — linger briefly for stragglers
+                deadline = time.monotonic() + self.window_s
+                while (len(self._queue) < self.max_batch
+                       and not self._closed):
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cond.wait(timeout=remaining)
+                batch = self._queue[: self.max_batch]
+                del self._queue[: self.max_batch]
+            items = [b[0] for b in batch]
+            futs = [b[1] for b in batch]
+            self.batches += 1
+            self.items += len(items)
+            try:
+                results = self.batch_fn(items)
+                if len(results) != len(items):
+                    raise RuntimeError(
+                        f"batch_fn returned {len(results)} results for "
+                        f"{len(items)} items")
+                for f, r in zip(futs, results):
+                    f.set_result(r)
+            except BaseException as e:  # propagate to every waiter
+                for f in futs:
+                    if not f.done():
+                        f.set_exception(e)
+
+
+class BatchedTTS:
+    """Transparent micro-batching proxy for a TTS engine: ``__call__`` routes
+    through the batcher (one text→mel + one vocoder call per drained batch,
+    via :meth:`TTSEngine.batch_synthesize`); every other attribute proxies
+    to the wrapped engine."""
+
+    def __init__(self, engine, max_batch: int = 8, window_ms: float = 8.0):
+        self.engine = engine
+        self.batcher = MicroBatcher(engine.batch_synthesize,
+                                    max_batch=max_batch, window_ms=window_ms,
+                                    name="tts")
+
+    def __call__(self, text: str):
+        return self.batcher(text)
+
+    def __getattr__(self, name):
+        return getattr(self.engine, name)

@@ -90,6 +90,25 @@ def bench_asr_encoder(iters: int = 5):
     return 30.0 / dt  # RTFx: 30 s of audio per encoder pass
 
 
+def bench_asr_decode(iters: int = 3, max_tokens: int = 32):
+    """Full Whisper transcription wall (log-mel frontend + encoder + KV-cached
+    greedy decode of ``max_tokens``) on a 30 s window → RTFx."""
+    import numpy as np
+
+    from audiogpt_tpu.engines.asr import ASREngine
+
+    eng = ASREngine(max_tokens=max_tokens)
+    wav = (np.random.RandomState(0).randn(16000 * 30) * 0.05).astype(
+        np.float32)
+    eng.transcribe_tokens(wav)  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        toks = eng.transcribe_tokens(wav)
+    _ = toks.sum()
+    dt = (time.perf_counter() - t0) / iters
+    return 30.0 / dt
+
+
 def bench_diffusion_steps(iters: int = 3, steps: int = 25, bf16: bool = False):
     """T2A UNet sampler steps/sec at the production latent shape."""
     import jax
@@ -203,11 +222,51 @@ def bench_agent_chain(iters: int = 3):
     return dt, audio_secs / iters
 
 
+def bench_serving_microbatch(concurrency: int = 8, rounds: int = 6):
+    """Serving throughput at ``concurrency`` parallel TTS requests: direct
+    per-request engine calls vs the cross-request micro-batcher
+    (serving/batcher.py). Returns (req_s_direct, req_s_batched)."""
+    import threading
+
+    from audiogpt_tpu.engines.tts import TTSEngine
+    from audiogpt_tpu.serving.batcher import BatchedTTS
+
+    eng = TTSEngine()
+    texts = [f"benchmark sentence number {i} for the serving layer"
+             for i in range(concurrency)]
+
+    def drive(call):
+        def one(i):
+            call(texts[i])
+
+        threads = [threading.Thread(target=one, args=(i,))
+                   for i in range(concurrency)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    drive(eng)  # compile all buckets
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        drive(eng)
+    direct = concurrency * rounds / (time.perf_counter() - t0)
+
+    proxy = BatchedTTS(eng, max_batch=concurrency, window_ms=8.0)
+    drive(proxy)
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        drive(proxy)
+    batched = concurrency * rounds / (time.perf_counter() - t0)
+    proxy.batcher.close()
+    return direct, batched
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--suite", default="headline",
                     choices=["headline", "all", "flash", "asr", "diffusion",
-                             "chain", "tts"])
+                             "chain", "tts", "serve"])
     ap.add_argument("--frames", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--batch", type=int, default=1)
@@ -224,6 +283,10 @@ def main():
         extra.append({"metric": "whisper_encoder_rtfx",
                       "value": round(rtfx, 2), "unit": "audio_sec_per_sec",
                       "vs_baseline": round(rtfx / 100.0, 3)})
+        rtfx_d = bench_asr_decode()
+        extra.append({"metric": "whisper_e2e_rtfx_32tok",
+                      "value": round(rtfx_d, 2), "unit": "audio_sec_per_sec",
+                      "vs_baseline": round(rtfx_d / 10.0, 3)})
     if args.suite in ("all", "diffusion"):
         sps = bench_diffusion_steps()
         extra.append({"metric": "t2a_unet_evals_per_sec",
@@ -245,6 +308,14 @@ def main():
                 extra.append({"metric": f"tts_{name}_rtf",
                               "value": round(dt / audio, 4), "unit": "rtf",
                               "vs_baseline": round(0.05 / (dt / audio), 2)})
+    if args.suite in ("all", "serve"):
+        direct, batched = bench_serving_microbatch()
+        extra.append({"metric": "tts_serving_req_per_s_direct",
+                      "value": round(direct, 2), "unit": "req_per_s",
+                      "vs_baseline": 1.0})
+        extra.append({"metric": "tts_serving_req_per_s_microbatch",
+                      "value": round(batched, 2), "unit": "req_per_s",
+                      "vs_baseline": round(batched / max(direct, 1e-9), 2)})
     if args.suite in ("all", "chain"):
         dt, audio = bench_agent_chain()
         # random-weight duration predictors emit near-zero-length audio, so

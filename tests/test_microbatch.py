@@ -1,0 +1,114 @@
+"""Cross-request micro-batching (serving/batcher.py): coalescing,
+correctness vs single-call synthesis, and error propagation."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from audiogpt_tpu.serving.batcher import BatchedTTS, MicroBatcher
+
+
+class TestMicroBatcher:
+    def test_single_item(self):
+        b = MicroBatcher(lambda xs: [x * 2 for x in xs], window_ms=1.0)
+        try:
+            assert b(21) == 42
+        finally:
+            b.close()
+
+    def test_concurrent_calls_coalesce(self):
+        seen = []
+
+        def fn(xs):
+            seen.append(len(xs))
+            time.sleep(0.01)
+            return [x + 1 for x in xs]
+
+        b = MicroBatcher(fn, max_batch=8, window_ms=50.0)
+        try:
+            results = [None] * 8
+
+            def call(i):
+                results[i] = b(i)
+
+            threads = [threading.Thread(target=call, args=(i,))
+                       for i in range(8)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            assert results == [i + 1 for i in range(8)]
+            # 8 concurrent calls within one 50 ms window → far fewer device
+            # calls than items (usually 1-2 batches)
+            assert sum(seen) == 8
+            assert len(seen) <= 4
+            assert max(seen) >= 2
+        finally:
+            b.close()
+
+    def test_error_propagates_to_all_waiters(self):
+        def fn(xs):
+            raise ValueError("boom")
+
+        b = MicroBatcher(fn, window_ms=1.0)
+        try:
+            with pytest.raises(ValueError, match="boom"):
+                b(1)
+        finally:
+            b.close()
+
+    def test_wrong_result_count_raises(self):
+        b = MicroBatcher(lambda xs: [0], max_batch=4, window_ms=30.0)
+        try:
+            futs = [b.submit(i) for i in range(2)]
+            excs = [f.exception(timeout=5) for f in futs]
+            assert any("results" in str(e) for e in excs if e)
+        finally:
+            b.close()
+
+    def test_closed_rejects(self):
+        b = MicroBatcher(lambda xs: xs, window_ms=1.0)
+        b.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            b.submit(1)
+
+
+@pytest.fixture(scope="module")
+def tts_engine():
+    from audiogpt_tpu.engines.tts import TTSEngine
+
+    return TTSEngine()
+
+
+class TestBatchSynthesize:
+    def test_matches_single_calls(self, tts_engine):
+        texts = ["hello there", "a somewhat longer benchmark sentence here"]
+        batch = tts_engine.batch_synthesize(texts)
+        for t, got in zip(texts, batch):
+            single = tts_engine(t)
+            assert got.shape == single.shape
+            np.testing.assert_allclose(got, single, atol=1e-5)
+
+    def test_batched_proxy_serves_concurrent(self, tts_engine):
+        proxy = BatchedTTS(tts_engine, window_ms=30.0)
+        try:
+            texts = ["one", "two", "three", "four"]
+            outs = [None] * len(texts)
+
+            def call(i):
+                outs[i] = proxy(texts[i])
+
+            threads = [threading.Thread(target=call, args=(i,))
+                       for i in range(len(texts))]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            for i, t in enumerate(texts):
+                ref = tts_engine(t)
+                np.testing.assert_allclose(outs[i], ref, atol=1e-5)
+            assert proxy.sample_rate == tts_engine.sample_rate  # attr proxy
+        finally:
+            proxy.batcher.close()
