@@ -18,6 +18,7 @@ Config default is whisper-base (the model the reference serves).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -247,16 +248,24 @@ def greedy_decode(
     """Returns tokens [B, P+max_tokens] with EOT-padding after stop.
 
     The sampler loop is a ``lax.scan`` over token positions inside one jit —
-    the per-step UNet...decoder forward reuses the static KV cache (contrast:
-    the reference's python for-loop over whisper's decode).
+    the per-step forward reuses the static KV cache (contrast: the
+    reference's python for-loop over whisper's decode). The jitted program
+    is cached per (model, max_tokens, eot_id) — building it fresh per call
+    re-traced and re-compiled the whole encoder+scan every request
+    (measured 0.95× realtime; cached it is hundreds× realtime).
     """
+    return _decode_fn(model, max_tokens, eot_id)(params, mel, prompt)
+
+
+@functools.lru_cache(maxsize=16)
+def _decode_fn(model: WhisperModel, max_tokens: int, eot_id: int):
     cfg = model.cfg
-    b, p = prompt.shape
     heads, d = cfg.n_text_head, cfg.n_text_state // cfg.n_text_head
-    total = p + max_tokens
 
     @jax.jit
     def run(params, mel, prompt):
+        b, p = prompt.shape
+        total = p + max_tokens
         xa = model.apply(params, mel, method=WhisperModel.encode)
         caches = [
             KVCache.create(b, total, heads, d) for _ in range(cfg.n_text_layer)
@@ -283,4 +292,4 @@ def greedy_decode(
         )
         return jnp.concatenate([prompt, toks.T], axis=1)
 
-    return run(params, mel, prompt)
+    return run

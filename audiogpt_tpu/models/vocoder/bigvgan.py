@@ -131,12 +131,26 @@ def downsample1d(x: jnp.ndarray, ratio: int = 2, kernel_size: int | None = None)
 class SnakeAA(nn.Module):
     """Anti-aliased snake/snakebeta: up2× → snake → down2×
     (``alias_free_torch/act.py:Activation1d`` around ``activations.py:Snake``).
-    Per-channel alpha (and beta for snakebeta), optionally log-scale."""
+    Per-channel alpha (and beta for snakebeta), optionally log-scale.
+
+    ``poly=True`` selects the **polyphase** form: the 2× intermediate is
+    never materialized. With up taps u[12] (×2 gain) and down taps d[12],
+    the even/odd upsample phases are two 6-tap FIRs at the ORIGINAL rate,
+    ``e[t]=Σ u[2a]·x'[t+a+2]``, ``o[t]=Σ u[2a+1]·x'[t+a+3]`` (x' = 5/5
+    edge-pad), the snake applies per phase, and the stride-2 downsample is
+    ``out[t]=Σ d[2b+1]·E[t+b] + d[2b]·O[t+b]`` over edge-extended phase
+    signals. Identical output (identity-tested) and half the HBM traffic in
+    theory — but XLA compiles the slice-heavy graph ~4× slower (full
+    generator: 35 s vs 8.7 s on CPU; TPU likewise regressed), so the
+    literal path stays the default. The polyphase math is the blueprint for
+    a future Pallas kernel (manual tiling sidesteps the compile cost).
+    """
 
     channels: int
     variant: str = "snakebeta"
     logscale: bool = True
     bf16: bool = False
+    poly: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -153,9 +167,40 @@ class SnakeAA(nn.Module):
             x = x.astype(jnp.bfloat16)
             alpha = alpha.astype(jnp.bfloat16)
             beta = beta.astype(jnp.bfloat16)
+        if self.poly:
+            return self._poly(x, alpha, beta).astype(in_dtype)
         x = upsample1d(x, 2)
         x = x + (1.0 / (beta + 1e-9)) * jnp.sin(x * alpha) ** 2
         return downsample1d(x, 2).astype(in_dtype)
+
+    @staticmethod
+    def _poly(x, alpha, beta):
+        """Shifted-slice FIRs in native [B, T, C] layout: a 6-tap filter is
+        six scaled adds (one fused VPU pass) — no conv ops, no transposes,
+        no batch folding, so it compiles in seconds where the dilated-conv
+        formulation took minutes."""
+        b, t, c = x.shape
+        dt = x.dtype
+        up = (kaiser_sinc_filter1d(0.25, 0.3, 12) * 2.0).astype(np.float32)
+        dn = kaiser_sinc_filter1d(0.25, 0.3, 12).astype(np.float32)
+        xp = jnp.pad(x, ((0, 0), (5, 5), (0, 0)), mode="edge")  # [B, T+10, C]
+        e = sum(jnp.asarray(up[2 * a], dt) * xp[:, a + 2: a + 2 + t]
+                for a in range(6))
+        o = sum(jnp.asarray(up[2 * a + 1], dt) * xp[:, a + 3: a + 3 + t]
+                for a in range(6))
+        inv_b = 1.0 / (beta + jnp.asarray(1e-9, dt))
+        s_e = e + inv_b * jnp.sin(e * alpha) ** 2
+        s_o = o + inv_b * jnp.sin(o * alpha) ** 2
+        epad = jnp.concatenate(
+            [jnp.repeat(s_e[:, :1], 2, 1), s_e,
+             jnp.repeat(s_o[:, -1:], 3, 1)], axis=1)            # [B, T+5, C]
+        opad = jnp.concatenate(
+            [jnp.repeat(s_e[:, :1], 3, 1), s_o,
+             jnp.repeat(s_o[:, -1:], 2, 1)], axis=1)            # [B, T+5, C]
+        return sum(
+            jnp.asarray(dn[2 * k + 1], dt) * epad[:, k: k + t]
+            + jnp.asarray(dn[2 * k], dt) * opad[:, k: k + t]
+            for k in range(6))
 
 
 class AMPBlock1(nn.Module):

@@ -176,3 +176,25 @@ def test_denoise_spectral_subtraction():
     # pure noise at the same level is crushed
     out_n = denoise(noise, v=0.5)
     assert np.abs(out_n).mean() < 0.2 * np.abs(noise).mean()
+
+
+def test_snake_aa_polyphase_identity():
+    """The polyphase SnakeAA (no 2x intermediate, two 6-tap stride-1 convs)
+    is numerically identical to the literal up2x -> snake -> down2x chain."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiogpt_tpu.models.vocoder.bigvgan import SnakeAA
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 37, 4).astype(np.float32))
+    params = {"params": {
+        "alpha": jnp.asarray(rng.randn(4).astype(np.float32) * 0.3),
+        "beta": jnp.asarray(rng.randn(4).astype(np.float32) * 0.3)}}
+    for variant in ("snakebeta", "snake"):
+        p = params if variant == "snakebeta" else {
+            "params": {"alpha": params["params"]["alpha"]}}
+        y_ref = SnakeAA(4, variant, True, poly=False).apply(p, x)
+        y_new = SnakeAA(4, variant, True, poly=True).apply(p, x)
+        np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_ref),
+                                   atol=2e-6)
