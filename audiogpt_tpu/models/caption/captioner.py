@@ -11,6 +11,7 @@ trained checkpoints convert directly.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 
 import jax
@@ -132,13 +133,23 @@ class CaptionModel(nn.Module):
 def caption_greedy_decode(model: CaptionModel, variables, wav: jnp.ndarray,
                           wav_len=None) -> np.ndarray:
     """Greedy caption decode as one jit program (re-run decoder per position;
-    captions are ≤22 tokens so the O(L²) cost is negligible)."""
-    cfg = model.cfg
+    captions are ≤22 tokens so the O(L²) cost is negligible). The jitted
+    program is cached per model — rebuilding it per call re-traces and
+    re-compiles every request."""
     b = wav.shape[0]
+    return np.asarray(_greedy_fn(model)(
+        variables, wav, wav_len if wav_len is not None
+        else jnp.full((b,), wav.shape[1], jnp.int32)))
+
+
+@functools.lru_cache(maxsize=8)
+def _greedy_fn(model: CaptionModel):
+    cfg = model.cfg
     L = cfg.max_caption_len
 
     @jax.jit
     def run(variables, wav, wav_len):
+        b = wav.shape[0]
         memory, mem_len = model.apply(variables, wav, wav_len,
                                       method=CaptionModel.encode)
         tokens = jnp.full((b, L), cfg.eos_id, jnp.int32)
@@ -156,8 +167,7 @@ def caption_greedy_decode(model: CaptionModel, variables, wav: jnp.ndarray,
         tokens, _ = jax.lax.fori_loop(1, L, body, (tokens, jnp.zeros((b,), bool)))
         return tokens
 
-    return np.asarray(run(variables, wav, wav_len if wav_len is not None
-                          else jnp.full((b,), wav.shape[1], jnp.int32)))
+    return run
 
 
 def caption_beam_decode(model: CaptionModel, variables, wav: jnp.ndarray,
@@ -169,16 +179,25 @@ def caption_beam_decode(model: CaptionModel, variables, wav: jnp.ndarray,
 
     Mechanics: the beam dimension folds into the batch for the decoder
     re-run (static shapes), scores accumulate log-probs with finished beams
-    frozen at EOS; final pick by length-normalized score.
+    frozen at EOS; final pick by length-normalized score. The jitted program
+    is cached per (model, beam, penalty).
     """
-    cfg = model.cfg
     b = wav.shape[0]
+    return np.asarray(_beam_fn(model, beam_size, length_penalty)(
+        variables, wav, wav_len if wav_len is not None
+        else jnp.full((b,), wav.shape[1], jnp.int32)))
+
+
+@functools.lru_cache(maxsize=8)
+def _beam_fn(model: CaptionModel, beam_size: int, length_penalty: float):
+    cfg = model.cfg
     L = cfg.max_caption_len
     k = beam_size
     V = cfg.vocab_size
 
     @jax.jit
     def run(variables, wav, wav_len):
+        b = wav.shape[0]
         memory, mem_len = model.apply(variables, wav, wav_len,
                                       method=CaptionModel.encode)
         # expand memory to the beam: [B*k, T, H]
@@ -220,6 +239,4 @@ def caption_beam_decode(model: CaptionModel, variables, wav: jnp.ndarray,
         return jnp.take_along_axis(tokens, best[:, None, None],
                                    axis=1)[:, 0]
 
-    return np.asarray(run(variables, wav,
-                          wav_len if wav_len is not None
-                          else jnp.full((b,), wav.shape[1], jnp.int32)))
+    return run
