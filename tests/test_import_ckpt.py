@@ -758,3 +758,63 @@ def test_diffsinger_full_ckpt_import_parity():
                       jnp.asarray(cond_ref), method=DiffSinger.denoise)
     np.testing.assert_allclose(np.asarray(eps).transpose(0, 2, 1), eps_ref,
                                atol=2e-4)
+
+
+def test_pvt_cli_roundtrip(tmp_path, monkeypatch):
+    """import_ckpt CLI with --family pvt: torch ckpt file → orbax → restore →
+    forward parity with the in-memory conversion (covers the CLI + orbax
+    path for the detection families)."""
+    import jax
+    import jax.numpy as jnp
+
+    import audiogpt_tpu.import_ckpt as ic
+    from audiogpt_tpu.import_ckpt import convert, restore_params
+    from audiogpt_tpu.models.sed.pvt import PVTConfig, PVTSED
+
+    cfg = PVTConfig(classes_num=3, embed_dims=(8,), depths=(1,),
+                    num_heads=(1,), mlp_ratios=(2,), sr_ratios=(2,))
+    torch.manual_seed(0)
+    sd = {"bn0.weight": np.ones(64, np.float32),
+          "bn0.bias": np.zeros(64, np.float32),
+          "bn0.running_mean": np.zeros(64, np.float32),
+          "bn0.running_var": np.ones(64, np.float32)}
+    rng = np.random.RandomState(0)
+    pe = "pvt_transformer.patch_embed1"
+    sd[f"{pe}.proj.weight"] = rng.randn(8, 1, 7, 7).astype(np.float32) * 0.05
+    sd[f"{pe}.proj.bias"] = np.zeros(8, np.float32)
+    sd[f"{pe}.norm.weight"] = np.ones(8, np.float32)
+    sd[f"{pe}.norm.bias"] = np.zeros(8, np.float32)
+    blk = "pvt_transformer.block1.0"
+    for nm, shape in (("attn.q.weight", (8, 8)), ("attn.kv.weight", (16, 8)),
+                      ("attn.proj.weight", (8, 8)),
+                      ("attn.sr.weight", (8, 8, 2, 2)),
+                      ("mlp.fc1.weight", (16, 8)),
+                      ("mlp.dwconv.dwconv.weight", (16, 1, 3, 3)),
+                      ("mlp.fc2.weight", (8, 16))):
+        sd[f"{blk}.{nm}"] = rng.randn(*shape).astype(np.float32) * 0.05
+        bias_dim = shape[0]
+        sd[f"{blk}.{nm.rsplit('.', 1)[0]}.bias"] = np.zeros(bias_dim,
+                                                            np.float32)
+    for nm, d in (("attn.norm", 8), ("norm1", 8), ("norm2", 8)):
+        sd[f"{blk}.{nm}.weight"] = np.ones(d, np.float32)
+        sd[f"{blk}.{nm}.bias"] = np.zeros(d, np.float32)
+    sd["pvt_transformer.norm1.weight"] = np.ones(8, np.float32)
+    sd["pvt_transformer.norm1.bias"] = np.zeros(8, np.float32)
+    sd["fc_audioset.weight"] = rng.randn(3, 8).astype(np.float32) * 0.1
+    sd["fc_audioset.bias"] = np.zeros(3, np.float32)
+
+    ckpt = str(tmp_path / "pvt.pt")
+    torch.save({"model": {k: torch.from_numpy(np.asarray(v))
+                          for k, v in sd.items()}}, ckpt)
+    monkeypatch.setattr(ic, "default_config", lambda fam: cfg)
+    out = str(tmp_path / "params")
+    ic.main(["--family", "pvt", "--ckpt", ckpt, "--out", out])
+    restored = restore_params(out)
+
+    direct = convert("pvt", sd, cfg)
+    wav = jnp.asarray(rng.randn(1, 32000).astype(np.float32) * 0.1)
+    model = PVTSED(cfg)
+    y1 = model.apply(jax.tree.map(jnp.asarray, direct), wav)
+    y2 = model.apply(jax.tree.map(jnp.asarray, restored), wav)
+    np.testing.assert_allclose(np.asarray(y1["clipwise_output"]),
+                               np.asarray(y2["clipwise_output"]), atol=1e-6)
