@@ -45,6 +45,12 @@ class BigVGANConfig:
     #: TPU (bandwidth-bound FIRs); off by default for bit-parity tests
     aa_bf16: bool = False
 
+    #: SnakeAA implementation: 'literal' (XLA up→snake→down), 'pallas'
+    #: (fused polyphase kernel, ops/snake_aa.py), or 'auto' = pallas on TPU
+    #: (compiles ~200× faster there: 1.9 s vs 398 s per activation shape,
+    #: and runs the whole chain in one VMEM pass), literal elsewhere.
+    aa_impl: str = "auto"
+
     @property
     def hop_size(self) -> int:
         return int(np.prod(self.upsample_rates))
@@ -141,9 +147,15 @@ class SnakeAA(nn.Module):
     ``out[t]=Σ d[2b+1]·E[t+b] + d[2b]·O[t+b]`` over edge-extended phase
     signals. Identical output (identity-tested) and half the HBM traffic in
     theory — but XLA compiles the slice-heavy graph ~4× slower (full
-    generator: 35 s vs 8.7 s on CPU; TPU likewise regressed), so the
-    literal path stays the default. The polyphase math is the blueprint for
-    a future Pallas kernel (manual tiling sidesteps the compile cost).
+    generator: 35 s vs 8.7 s on CPU), so it is never the production pick.
+
+    ``impl`` selects the production implementation: the same polyphase math
+    as a **Pallas kernel** (``ops/snake_aa.py``) compiles ~200× faster than
+    the literal chain on TPU (1.9 s vs 398 s per activation shape) and is
+    the one path that matches float64 ground truth (8e-7 vs the literal
+    XLA conv chain's 2.3e-2 on TPU — its FIRs run through bf16 MXU passes).
+    ``impl='auto'`` (the generator default) uses Pallas on TPU and the
+    literal chain elsewhere.
     """
 
     channels: int
@@ -151,6 +163,7 @@ class SnakeAA(nn.Module):
     logscale: bool = True
     bf16: bool = False
     poly: bool = False
+    impl: str = "literal"   # 'literal' | 'pallas' | 'auto'
 
     @nn.compact
     def __call__(self, x):
@@ -167,6 +180,15 @@ class SnakeAA(nn.Module):
             x = x.astype(jnp.bfloat16)
             alpha = alpha.astype(jnp.bfloat16)
             beta = beta.astype(jnp.bfloat16)
+        impl = self.impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() == "tpu" else "literal"
+        if impl == "pallas":
+            from audiogpt_tpu.ops.snake_aa import snake_aa_pallas
+
+            y = snake_aa_pallas(x, alpha, beta,
+                                interpret=jax.default_backend() != "tpu")
+            return y.astype(in_dtype)
         if self.poly:
             return self._poly(x, alpha, beta).astype(in_dtype)
         x = upsample1d(x, 2)
@@ -210,15 +232,16 @@ class AMPBlock1(nn.Module):
     activation: str
     logscale: bool
     bf16: bool = False
+    impl: str = "literal"
 
     @nn.compact
     def __call__(self, x):
         for d in self.dilations:
             xt = SnakeAA(self.channels, self.activation, self.logscale,
-                         self.bf16)(x)
+                         self.bf16, impl=self.impl)(x)
             xt = Conv1d(self.channels, self.kernel_size, dilation=d)(xt)
             xt = SnakeAA(self.channels, self.activation, self.logscale,
-                         self.bf16)(xt)
+                         self.bf16, impl=self.impl)(xt)
             xt = Conv1d(self.channels, self.kernel_size, dilation=1)(xt)
             x = x + xt
         return x
@@ -231,12 +254,13 @@ class AMPBlock2(nn.Module):
     activation: str
     logscale: bool
     bf16: bool = False
+    impl: str = "literal"
 
     @nn.compact
     def __call__(self, x):
         for d in self.dilations:
             xt = SnakeAA(self.channels, self.activation, self.logscale,
-                         self.bf16)(x)
+                         self.bf16, impl=self.impl)(x)
             xt = Conv1d(self.channels, self.kernel_size, dilation=d)(xt)
             x = x + xt
         return x
@@ -261,10 +285,11 @@ class BigVGANGenerator(nn.Module):
                 zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)
             ):
                 out = amp(ch, rk, tuple(rd), cfg.activation, cfg.snake_logscale,
-                          cfg.aa_bf16, name=f"amp_{i}_{j}")(x)
+                          cfg.aa_bf16, impl=cfg.aa_impl,
+                          name=f"amp_{i}_{j}")(x)
                 acc = out if acc is None else acc + out
             x = acc / len(cfg.resblock_kernel_sizes)
         x = SnakeAA(x.shape[-1], cfg.activation, cfg.snake_logscale,
-                    cfg.aa_bf16, name="act_post")(x)
+                    cfg.aa_bf16, impl=cfg.aa_impl, name="act_post")(x)
         x = Conv1d(1, 7, padding=3, name="conv_post")(x)
         return jnp.tanh(x)[..., 0]

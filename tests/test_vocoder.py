@@ -198,3 +198,34 @@ def test_snake_aa_polyphase_identity():
         y_new = SnakeAA(4, variant, True, poly=True).apply(p, x)
         np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_ref),
                                    atol=2e-6)
+
+
+def test_bigvgan_pallas_aa_matches_literal():
+    """aa_impl='pallas' (fused polyphase Pallas kernel, interpret mode on
+    CPU) produces the same waveform as the literal up->snake->down chain
+    through the full generator."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from audiogpt_tpu.models.vocoder.bigvgan import (
+        BigVGANConfig, BigVGANGenerator,
+    )
+
+    cfg_lit = BigVGANConfig(upsample_initial_channel=16,
+                            upsample_rates=(4, 4), upsample_kernel_sizes=(8, 8),
+                            resblock_kernel_sizes=(3,),
+                            resblock_dilation_sizes=((1, 2),),
+                            aa_impl="literal")
+    cfg_pal = dc.replace(cfg_lit, aa_impl="pallas")
+    mel = jnp.asarray(np.random.RandomState(0).randn(1, 17, 80)
+                      .astype(np.float32))
+    params = BigVGANGenerator(cfg_lit).init(jax.random.PRNGKey(0), mel)
+    # non-zero alphas so the snake actually bends
+    params = jax.tree.map(
+        lambda a: a + 0.1 if a.ndim == 1 else a, params)
+    y_lit = BigVGANGenerator(cfg_lit).apply(params, mel)
+    y_pal = BigVGANGenerator(cfg_pal).apply(params, mel)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_lit),
+                               atol=3e-6)
