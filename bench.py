@@ -222,6 +222,52 @@ def bench_agent_chain(iters: int = 3):
     return dt, audio_secs / iters
 
 
+def bench_speech_loop(iters: int = 5):
+    """The reference's flagship interactive loop (``ConversationBot.speech``,
+    audio-chatgpt.py:1294): whisper ASR (translate) → ReAct agent → TTS of
+    the response. Returns seconds per voice turn (warmed)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from audiogpt_tpu.agent.agent import ConversationAgent
+    from audiogpt_tpu.agent.llm import ScriptedLLM
+    from audiogpt_tpu.agent.toolset import build_toolset
+    from audiogpt_tpu.engines.asr import ASREngine
+    from audiogpt_tpu.engines.tts import TTSEngine
+    from audiogpt_tpu.utils.audio_io import load_wav, save_wav
+
+    root = tempfile.mkdtemp(prefix="bench_speech_")
+    asr_eng = ASREngine(max_tokens=32)
+    tts_eng = TTSEngine()
+    reg = build_toolset({"tts": tts_eng}, root=root, mode="speech")
+
+    wav_in = os.path.join(root, "turn.wav")
+    save_wav((np.random.RandomState(0).randn(16000 * 3) * 0.05
+              ).astype(np.float32), wav_in, 16000)
+
+    def asr(path):
+        wav, _ = load_wav(path, sr=16000)
+        return asr_eng.transcribe(wav)
+
+    def tts(text):
+        out = os.path.join(root, "resp.wav")
+        save_wav(tts_eng(text or "okay"), out, tts_eng.sample_rate)
+        return out
+
+    def one_turn():
+        agent = ConversationAgent(ScriptedLLM(
+            ["Thought: Do I need to use a tool? No\nAI: heard you."]), reg)
+        return agent.speech(wav_in, asr, tts)
+
+    one_turn()  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        one_turn()
+    return (time.perf_counter() - t0) / iters
+
+
 def bench_serving_microbatch(concurrency: int = 8, rounds: int = 6):
     """Serving throughput at ``concurrency`` parallel TTS requests: direct
     per-request engine calls vs the cross-request micro-batcher
@@ -266,7 +312,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--suite", default="headline",
                     choices=["headline", "all", "flash", "asr", "diffusion",
-                             "chain", "tts", "serve"])
+                             "chain", "tts", "serve", "speech"])
     ap.add_argument("--frames", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--batch", type=int, default=1)
@@ -308,6 +354,11 @@ def main():
                 extra.append({"metric": f"tts_{name}_rtf",
                               "value": round(dt / audio, 4), "unit": "rtf",
                               "vs_baseline": round(0.05 / (dt / audio), 2)})
+    if args.suite in ("all", "speech"):
+        dt = bench_speech_loop()
+        extra.append({"metric": "speech_loop_wall_s",
+                      "value": round(dt, 3), "unit": "s_per_voice_turn",
+                      "vs_baseline": 1.0})
     if args.suite in ("all", "serve"):
         direct, batched = bench_serving_microbatch()
         extra.append({"metric": "tts_serving_req_per_s_direct",
