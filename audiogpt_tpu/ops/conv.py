@@ -55,35 +55,60 @@ class Conv1d(nn.Module):
 
 class ConvTranspose1d(nn.Module):
     """Transposed 1-D conv matching torch ConvTranspose1d(k, s, padding=p):
-    out_len = (in_len - 1) * s - 2p + k. Input [B, T, C]."""
+    out_len = (in_len - 1) * s - 2p + k. Input [B, T, C].
+
+    Default ``impl='phase'`` computes the polyphase decomposition as ONE
+    regular stride-1 conv with s·O output channels and an interleaving
+    reshape: ``y[m·s+r] = Σ_d x[m-d]·W[d·s+r]`` — identical output, but no
+    ``lhs_dilation`` (which XLA:TPU compiles pathologically slowly for the
+    vocoder upsampler shapes) and an MXU-friendly [K', I, s·O] contraction.
+    ``impl='dilated'`` keeps the literal fractionally-strided form.
+    """
 
     features: int
     kernel_size: int
     stride: int
     padding: int = 0
     use_bias: bool = True
+    impl: str = "phase"   # 'phase' | 'dilated'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k, s, p = self.kernel_size, self.stride, self.padding
+        o, i = self.features, x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.normal(0.01),
-            (k, self.features, x.shape[-1]),  # [W, O, I] for transpose
+            (k, o, i),  # [W, O, I] for transpose
             jnp.float32,
         )
-        # torch conv_transpose == grad of conv: use conv_general_dilated with
-        # lhs_dilation=stride and flipped kernel.
-        # fractionally-strided conv: out = (in-1)*s + 1 + 2*(k-1-p) - (k-1)
-        #                                = (in-1)*s - 2p + k  (torch formula)
-        y = jax.lax.conv_general_dilated(
-            x.astype(kernel.dtype),
-            jnp.flip(kernel, axis=0).transpose(0, 2, 1),  # [W, I, O]
-            window_strides=(1,),
-            padding=[(k - 1 - p, k - 1 - p)],
-            lhs_dilation=(s,),
-            dimension_numbers=("NWC", "WIO", "NWC"),
-        )
+        if self.impl == "phase" and s > 1:
+            kp = (k + s - 1) // s          # taps per phase
+            t = x.shape[1]
+            kpad = jnp.pad(kernel, ((0, kp * s - k), (0, 0), (0, 0)))
+            w = kpad.reshape(kp, s, o, i)              # [d, r, O, I]
+            w = jnp.flip(w, axis=0)                    # j = kp-1-d
+            w = w.transpose(0, 3, 1, 2).reshape(kp, i, s * o)
+            y = jax.lax.conv_general_dilated(
+                x.astype(kernel.dtype), w.astype(kernel.dtype),
+                window_strides=(1,),
+                padding=[(kp - 1, kp - 1)],
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            )                                          # [B, T+kp-1, s*O]
+            y = y.reshape(y.shape[0], (t + kp - 1) * s, o)
+            y = y[:, p: p + (t - 1) * s - 2 * p + k]
+        else:
+            # torch conv_transpose == grad of conv: conv_general_dilated with
+            # lhs_dilation=stride and flipped kernel;
+            # out = (in-1)*s + 1 + 2*(k-1-p) - (k-1) = (in-1)*s - 2p + k
+            y = jax.lax.conv_general_dilated(
+                x.astype(kernel.dtype),
+                jnp.flip(kernel, axis=0).transpose(0, 2, 1),  # [W, I, O]
+                window_strides=(1,),
+                padding=[(k - 1 - p, k - 1 - p)],
+                lhs_dilation=(s,),
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + b
