@@ -117,7 +117,7 @@ class UNetResFiLM(nn.Module):
             x, skip = EncoderBlock(ch, name=f"enc_{i}")(x, cond, train)
             skips.append(skip)
         x = ConvBlockResCond(cfg.enc_channels[-1], name="center")(x, cond, train)
-        dec_channels = (384, 384, 256, 128, 64, 32)
+        dec_channels = tuple(reversed(cfg.enc_channels))  # mirror of encoder
         for i, ch in enumerate(dec_channels):
             x = DecoderBlock(ch, name=f"dec_{i}")(x, skips[-(i + 1)], cond, train)
         x = ConvBlockResCond(32, name="after_cb")(x, cond, train)

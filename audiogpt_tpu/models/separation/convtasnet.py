@@ -44,15 +44,25 @@ class ConvTasNetConfig:
 
 
 class GlobalLayerNorm(nn.Module):
-    """gLN: normalize over (time, channels) jointly."""
+    """gLN: normalize over (time, channels) jointly.
+
+    ``mask`` [B, T, 1] (1=valid) excludes padded frames from the statistics —
+    without it, bucket zero-padding dilutes mean/var and changes the masks
+    for the REAL samples (gLN is global, so padding is not free)."""
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
         c = x.shape[-1]
         gamma = self.param("gamma", nn.initializers.ones, (c,))
         beta = self.param("beta", nn.initializers.zeros, (c,))
-        mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-        var = jnp.mean((x - mean) ** 2, axis=(1, 2), keepdims=True)
+        if mask is None:
+            mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+            var = jnp.mean((x - mean) ** 2, axis=(1, 2), keepdims=True)
+        else:
+            n = jnp.maximum(jnp.sum(mask, axis=(1, 2), keepdims=True), 1.0) * c
+            mean = jnp.sum(x * mask, axis=(1, 2), keepdims=True) / n
+            var = jnp.sum(((x - mean) * mask) ** 2, axis=(1, 2),
+                          keepdims=True) / n
         return (x - mean) * jax.lax.rsqrt(var + 1e-8) * gamma + beta
 
 
@@ -71,16 +81,16 @@ class TCNBlock(nn.Module):
     dilation: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
         h = nn.Conv(self.hidden, (1,), name="conv1x1")(x)
         h = PReLU(name="prelu1")(h)
-        h = GlobalLayerNorm(name="norm1")(h)
+        h = GlobalLayerNorm(name="norm1")(h, mask)
         pad = (self.kernel - 1) * self.dilation // 2
         h = nn.Conv(self.hidden, (self.kernel,), kernel_dilation=self.dilation,
                     padding=[(pad, pad)], feature_group_count=self.hidden,
                     name="dconv")(h)
         h = PReLU(name="prelu2")(h)
-        h = GlobalLayerNorm(name="norm2")(h)
+        h = GlobalLayerNorm(name="norm2")(h, mask)
         res = nn.Conv(self.bottleneck, (1,), name="res_conv")(h)
         skip = nn.Conv(self.skip, (1,), name="skip_conv")(h)
         return x + res, skip
@@ -90,8 +100,11 @@ class ConvTasNet(nn.Module):
     cfg: ConvTasNetConfig
 
     @nn.compact
-    def __call__(self, wav: jnp.ndarray) -> jnp.ndarray:
-        """wav [B, T] → sources [B, n_src, T]."""
+    def __call__(self, wav: jnp.ndarray, valid_len=None) -> jnp.ndarray:
+        """wav [B, T] → sources [B, n_src, T]. ``valid_len`` [B] marks how
+        many samples are real when T is a padded bucket; normalization
+        statistics then ignore the padded tail (a traced array — one
+        compile serves every length in the bucket)."""
         cfg = self.cfg
         t_in = wav.shape[-1]
         stride = cfg.stride
@@ -103,15 +116,21 @@ class ConvTasNet(nn.Module):
             nn.Conv(cfg.enc_dim, (cfg.enc_kernel,), strides=(stride,),
                     padding="VALID", use_bias=False, name="encoder")(x))
         frames = w.shape[1]
+        mask = None
+        if valid_len is not None:
+            nf = jnp.ceil(valid_len / stride).astype(jnp.int32)  # [B]
+            mask = (jnp.arange(frames)[None] < nf[:, None]
+                    ).astype(w.dtype)[..., None]                 # [B, F, 1]
 
         # separator
-        h = GlobalLayerNorm(name="ln_in")(w)
+        h = GlobalLayerNorm(name="ln_in")(w, mask)
         h = nn.Conv(cfg.bottleneck, (1,), name="bottleneck")(h)
         skip_sum = 0.0
         for r in range(cfg.n_repeats):
             for b in range(cfg.n_blocks):
                 h, skip = TCNBlock(cfg.hidden, cfg.skip, cfg.bottleneck,
-                                   cfg.kernel, 2 ** b, name=f"tcn_{r}_{b}")(h)
+                                   cfg.kernel, 2 ** b, name=f"tcn_{r}_{b}")(
+                    h, mask)
                 skip_sum = skip_sum + skip
         m = PReLU(name="mask_prelu")(skip_sum)
         m = nn.Conv(cfg.n_src * cfg.enc_dim, (1,), name="mask_conv")(m)
@@ -142,8 +161,20 @@ class ConvTasNet(nn.Module):
 def _sep_fn(model: ConvTasNet):
     """One jitted program per model (ConvTasNet is a hashable dataclass
     module). A fresh ``jax.jit`` wrapper per call would re-trace and
-    re-compile every request — the 1.3 s/call bug this replaces."""
-    return jax.jit(lambda p, x: model.apply(p, x))
+    re-compile every request — the 1.3 s/call bug this replaces.
+
+    Returns ``fn(params, x, valid_len)``; models without a ``valid_len``
+    kwarg (e.g. SkiM, whose segment LayerNorms are local) ignore it."""
+    import inspect
+
+    try:
+        takes_len = "valid_len" in inspect.signature(
+            type(model).__call__).parameters
+    except (TypeError, ValueError):
+        takes_len = False
+    if takes_len:
+        return jax.jit(lambda p, x, n: model.apply(p, x, n))
+    return jax.jit(lambda p, x, n: model.apply(p, x))
 
 
 def separate_streaming(model: ConvTasNet, params, wav: np.ndarray,
@@ -164,20 +195,20 @@ def separate_streaming(model: ConvTasNet, params, wav: np.ndarray,
     t = len(wav)
     fn = _sep_fn(model)
     if t <= seg:
-        bucket = max(sr // 4, 1 << (max(t - 1, 1)).bit_length())
-        bucket = min(bucket, seg)
-        if bucket < t:
-            bucket = t  # seg not dyadic; the single over-size case
+        bucket = min(max(sr // 4, 1 << (max(t - 1, 1)).bit_length()), seg)
         padded = np.zeros(bucket, np.float32)
         padded[:t] = wav
-        out = np.asarray(fn(params, jnp.asarray(padded[None])))[0]
+        out = np.asarray(fn(params, jnp.asarray(padded[None]),
+                            jnp.asarray([t], np.int32)))[0]
         return out[:, :t]
 
     starts = list(range(0, t - seg + hop, hop))
     chunks = np.zeros((len(starts), seg), np.float32)
+    lens = np.zeros(len(starts), np.int32)
     for i, start in enumerate(starts):
         end = min(start + seg, t)
         chunks[i, : end - start] = wav[start:end]
+        lens[i] = end - start
 
     # pad the chunk count to a power-of-two bucket (static batch shapes)
     n = len(starts)
@@ -187,9 +218,13 @@ def separate_streaming(model: ConvTasNet, params, wav: np.ndarray,
     outs = []
     for ofs in range(0, n, bucket):
         block = chunks[ofs: ofs + bucket]
+        blens = lens[ofs: ofs + bucket]
         if block.shape[0] < bucket:
-            block = np.pad(block, ((0, bucket - block.shape[0]), (0, 0)))
-        outs.append(np.asarray(fn(params, jnp.asarray(block))))
+            short = bucket - block.shape[0]
+            block = np.pad(block, ((0, short), (0, 0)))
+            blens = np.pad(blens, (0, short))
+        outs.append(np.asarray(fn(params, jnp.asarray(block),
+                                  jnp.asarray(blens))))
     out_chunks = np.concatenate(outs, axis=0)[:n]   # [N, n_src, seg]
 
     acc = np.zeros((cfg.n_src, t), np.float64)

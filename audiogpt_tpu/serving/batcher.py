@@ -96,12 +96,21 @@ class MicroBatcher:
                     raise RuntimeError(
                         f"batch_fn returned {len(results)} results for "
                         f"{len(items)} items")
-                for f, r in zip(futs, results):
-                    f.set_result(r)
             except BaseException as e:  # propagate to every waiter
-                for f in futs:
-                    if not f.done():
-                        f.set_exception(e)
+                results = None
+                err = e
+            # set each future independently — a caller-cancelled future must
+            # not poison its batchmates or kill the worker thread
+            for idx, f in enumerate(futs):
+                try:
+                    if f.done():  # e.g. cancelled by the caller
+                        continue
+                    if results is not None:
+                        f.set_result(results[idx])
+                    else:
+                        f.set_exception(err)
+                except Exception:
+                    pass
 
 
 class BatchedTTS:
@@ -117,6 +126,14 @@ class BatchedTTS:
                                     name="tts")
 
     def __call__(self, text: str):
+        try:
+            ids = self.engine.frontend.encode(text)
+            if len(ids) > max(self.engine.bucketer.buckets):
+                # long-form chunked synthesis runs for seconds — on the
+                # caller's thread, not head-of-line blocking the batch worker
+                return self.engine(text)
+        except Exception:
+            pass
         return self.batcher(text)
 
     def __getattr__(self, name):

@@ -764,9 +764,7 @@ def convert_lassnet(sd: Mapping[str, np.ndarray], cfg) -> dict:
         cin = ch
     unet_p["center"], unet_s["center"] = _cbr_cond(
         sd, "UNet.conv_block7", has_shortcut=False)
-    dec_channels = (384, 384, 256, 128, 64, 32)
-    cin = cfg.enc_channels[-1]
-    for i, ch in enumerate(dec_channels):
+    for i, ch in enumerate(reversed(cfg.enc_channels)):  # mirror of encoder
         blk = f"UNet.decoder_block{i + 1}"
         w = np.asarray(sd[f"{blk}.conv1.weight"])  # [in, out, kh, kw]
         dp: dict = {"convT": {"kernel": w.transpose(2, 3, 1, 0)
@@ -777,7 +775,6 @@ def convert_lassnet(sd: Mapping[str, np.ndarray], cfg) -> dict:
         dp["cb2"], ds["cb2"] = _cbr_cond(sd, f"{blk}.conv_block2", True)
         dp["cb3"], ds["cb3"] = _cbr_cond(sd, f"{blk}.conv_block3", False)
         unet_p[f"dec_{i}"], unet_s[f"dec_{i}"] = dp, ds
-        cin = ch
     unet_p["after_cb"], unet_s["after_cb"] = _cbr_cond(
         sd, "UNet.after_conv_block1", has_shortcut=False)
     unet_p["after_conv"] = _conv2d(sd, "UNet.after_conv2")
@@ -842,10 +839,15 @@ def convert_clip_vision(sd: Mapping[str, np.ndarray], cfg) -> dict:
     """open_clip ``visual.`` tower (the I2A conditioner,
     ``ldm/modules/encoders/modules.py:315`` wraps ViT-H-14) →
     :class:`audiogpt_tpu.models.textenc.clip.CLIPVisionEncoder`."""
-    sd = {k.removeprefix("model.").removeprefix("visual."): np.asarray(v)
-          for k, v in sd.items() if "visual." in k or not k.startswith(
-              ("transformer.", "token_embedding", "text_projection",
-               "positional_embedding", "ln_final", "logit_scale"))}
+    sd0 = {k.removeprefix("model."): v for k, v in sd.items()}
+    if any(k.startswith("visual.") for k in sd0):
+        # full CLIP state dict: keep ONLY the visual subtree (text-tower
+        # keys like 'transformer.*'/'positional_embedding' would otherwise
+        # collide with the stripped vision names)
+        sd = {k[len("visual."):]: np.asarray(v) for k, v in sd0.items()
+              if k.startswith("visual.")}
+    else:
+        sd = {k: np.asarray(v) for k, v in sd0.items()}
     p: dict = {
         "patch_embed": {"kernel": np.asarray(sd["conv1.weight"])
                         .transpose(2, 3, 1, 0).astype(np.float32)},

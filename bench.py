@@ -292,7 +292,13 @@ def bench_serving_microbatch(concurrency: int = 8, rounds: int = 6):
         for t in threads:
             t.join()
 
-    drive(eng)  # compile all buckets
+    # compile every dyadic batch bucket the batcher might drain (a cold
+    # bucket inside the timed region would absorb an XLA compile)
+    nb = 1
+    while nb <= concurrency:
+        eng.batch_synthesize(texts[:nb])
+        nb *= 2
+    drive(eng)
     t0 = time.perf_counter()
     for _ in range(rounds):
         drive(eng)
