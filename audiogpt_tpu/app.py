@@ -229,11 +229,15 @@ def main(argv=None):
         llm = ScriptedLLM([])  # echo/demo mode: always answers directly
     engines = build_engines(args.engines)
     load_engine_ckpts(engines, args.ckpt)
-    if args.microbatch is not None and "tts" in engines:
-        from audiogpt_tpu.serving.batcher import BatchedTTS
+    if args.microbatch is not None:
+        from audiogpt_tpu.serving.batcher import BatchedASR, BatchedTTS
 
-        engines["tts"] = BatchedTTS(engines["tts"],
-                                    window_ms=args.microbatch)
+        if "tts" in engines:
+            engines["tts"] = BatchedTTS(engines["tts"],
+                                        window_ms=args.microbatch)
+        if "asr" in engines:
+            engines["asr"] = BatchedASR(engines["asr"],
+                                        window_ms=args.microbatch)
     asr_fn = tts_fn = None
     if "asr" in engines:
         from audiogpt_tpu.utils.audio_io import load_wav

@@ -104,3 +104,29 @@ class TestBatchSynthesize:
             assert proxy.sample_rate == tts_engine.sample_rate  # attr proxy
         finally:
             proxy.batcher.close()
+
+
+def test_batched_asr_matches_single():
+    """BatchedASR proxy: concurrent transcribe calls coalesce into one
+    [B, T] whisper program and return the same texts as single calls."""
+    from audiogpt_tpu.engines.asr import ASREngine
+    from audiogpt_tpu.models.asr.whisper import WhisperConfig
+    from audiogpt_tpu.serving.batcher import BatchedASR
+
+    cfg = WhisperConfig(n_audio_state=64, n_audio_head=2, n_audio_layer=1,
+                        n_text_state=64, n_text_head=2, n_text_layer=1,
+                        n_vocab=200)
+    eng = ASREngine(cfg=cfg, max_tokens=6)
+    rng = np.random.RandomState(0)
+    wavs = [(rng.randn(16000) * 0.05).astype(np.float32) for _ in range(3)]
+    singles = [eng.transcribe(w) for w in wavs]
+
+    proxy = BatchedASR(eng, window_ms=100.0)
+    try:
+        futs = [proxy.batcher.submit(w) for w in wavs]
+        batched = [f.result(timeout=120) for f in futs]
+        assert batched == singles
+        assert proxy.batcher.batches <= 2
+        assert proxy.sample_rate if hasattr(eng, "sample_rate") else True
+    finally:
+        proxy.batcher.close()

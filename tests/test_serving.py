@@ -259,3 +259,47 @@ def test_load_engine_ckpts_roundtrip(tmp_path):
     import pytest
     with pytest.raises(SystemExit):
         load_engine_ckpts({"enhance": eng}, [f"tts={path}"])
+
+
+def test_microbatched_tts_server(tmp_path):
+    """End-to-end: an AppServer whose TTS engine is wrapped in BatchedTTS
+    (the `serve --microbatch` path) answers concurrent /chat tool turns and
+    the batcher actually carries the traffic."""
+    from audiogpt_tpu.engines.tts import TTSEngine
+    from audiogpt_tpu.serving.batcher import BatchedTTS
+
+    root = str(tmp_path)
+    proxy = BatchedTTS(TTSEngine(), window_ms=20.0)
+    engines = {"tts": proxy}
+    n = 3
+    llm = ScriptedLLM(
+        ["Thought: Do I need to use a tool? Yes\n"
+         "Action: Synthesize Speech Given the User Input Text\n"
+         "Action Input: microbatched hello",
+         "Thought: Do I need to use a tool? No\nAI: spoken."] * n)
+    app = AppServer(llm, engines, media_root=root)
+    httpd = make_server(app, port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        results = [None] * n
+
+        def chat(i):
+            body = json.dumps({"text": f"say hi {i}"}).encode()
+            results[i] = _req(port, "/chat", body,
+                              {"Content-Type": "application/json"})
+
+        threads = [threading.Thread(target=chat, args=(i,))
+                   for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for status, raw, _ in results:
+            assert status == 200
+            out = json.loads(raw)
+            assert out["steps"], out
+        assert proxy.batcher.items == n   # every turn went through batching
+    finally:
+        httpd.shutdown()
+        proxy.batcher.close()
