@@ -124,31 +124,61 @@ def fold_weight_norm(g: jnp.ndarray, v: jnp.ndarray, axes: Sequence[int]) -> jnp
 
 class ConvTranspose2d(nn.Module):
     """Transposed 2-D conv matching torch ConvTranspose2d(k, s, padding=0):
-    out = (in-1)*s + k per spatial dim. Input [B, H, W, C]."""
+    out = (in-1)*s + k per spatial dim. Input [B, H, W, C].
+
+    Default ``impl='phase'`` is the 2-D polyphase decomposition (one regular
+    stride-1 conv with sh·sw·O channels + interleaving reshapes) — no
+    ``lhs_dilation`` (see :class:`ConvTranspose1d`). ``impl='dilated'``
+    keeps the literal form.
+    """
 
     features: int
     kernel_size: tuple[int, int]
     stride: tuple[int, int]
     use_bias: bool = True
+    impl: str = "phase"   # 'phase' | 'dilated'
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kh, kw = self.kernel_size
         sh, sw = self.stride
+        o, i = self.features, x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (kh, kw, self.features, x.shape[-1]),  # [Kh, Kw, O, I]
+            (kh, kw, o, i),  # [Kh, Kw, O, I]
             jnp.float32,
         )
-        y = jax.lax.conv_general_dilated(
-            x.astype(kernel.dtype),
-            jnp.flip(kernel, axis=(0, 1)).transpose(0, 1, 3, 2),  # [Kh,Kw,I,O]
-            window_strides=(1, 1),
-            padding=[(kh - 1, kh - 1), (kw - 1, kw - 1)],
-            lhs_dilation=(sh, sw),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if self.impl == "phase" and (sh > 1 or sw > 1):
+            khp, kwp = (kh + sh - 1) // sh, (kw + sw - 1) // sw
+            h, w = x.shape[1], x.shape[2]
+            kpad = jnp.pad(kernel, ((0, khp * sh - kh), (0, kwp * sw - kw),
+                                    (0, 0), (0, 0)))
+            wk = kpad.reshape(khp, sh, kwp, sw, o, i)      # [dh,rh,dw,rw,O,I]
+            wk = jnp.flip(wk, axis=(0, 2))                 # j = k'-1-d per dim
+            # conv kernel [Khp, Kwp, I, (rh, rw, o)]
+            wk = wk.transpose(0, 2, 5, 1, 3, 4).reshape(
+                khp, kwp, i, sh * sw * o)
+            y = jax.lax.conv_general_dilated(
+                x.astype(kernel.dtype), wk.astype(kernel.dtype),
+                window_strides=(1, 1),
+                padding=[(khp - 1, khp - 1), (kwp - 1, kwp - 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )                                              # [B, Mh, Mw, sh*sw*O]
+            mh, mw = h + khp - 1, w + kwp - 1
+            y = y.reshape(y.shape[0], mh, mw, sh, sw, o)
+            y = y.transpose(0, 1, 3, 2, 4, 5).reshape(
+                y.shape[0], mh * sh, mw * sw, o)
+            y = y[:, : (h - 1) * sh + kh, : (w - 1) * sw + kw]
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(kernel.dtype),
+                jnp.flip(kernel, axis=(0, 1)).transpose(0, 1, 3, 2),  # [Kh,Kw,I,O]
+                window_strides=(1, 1),
+                padding=[(kh - 1, kh - 1), (kw - 1, kw - 1)],
+                lhs_dilation=(sh, sw),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + b
