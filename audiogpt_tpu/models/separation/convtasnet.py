@@ -140,19 +140,26 @@ class ConvTasNet(nn.Module):
             m = jax.nn.sigmoid(m)
         m = m.reshape(m.shape[0], frames, cfg.n_src, cfg.enc_dim)
 
-        # decoder: masked encoder features → transposed conv per source
+        # decoder: masked encoder features → transposed conv per source,
+        # in polyphase form (stride-1 conv with `stride` output phases +
+        # interleave — no lhs_dilation, see ops/conv.py ConvTranspose1d)
         masked = w[:, :, None, :] * m  # [B, F, S, N]
         masked = masked.transpose(0, 2, 1, 3).reshape(-1, frames, cfg.enc_dim)
         kernel = self.param("decoder_kernel", nn.initializers.lecun_normal(),
                             (cfg.enc_kernel, 1, cfg.enc_dim))
+        kp = (cfg.enc_kernel + stride - 1) // stride
+        kpad = jnp.pad(kernel[:, 0, :],
+                       ((0, kp * stride - cfg.enc_kernel), (0, 0)))
+        wk = jnp.flip(kpad.reshape(kp, stride, cfg.enc_dim), axis=0)
+        wk = wk.transpose(0, 2, 1)                      # [kp, N, stride]
         y = jax.lax.conv_general_dilated(
-            masked,
-            jnp.flip(kernel, 0).transpose(0, 2, 1),  # [L, N, 1]
+            masked, wk.astype(masked.dtype),
             window_strides=(1,),
-            padding=[(cfg.enc_kernel - 1, cfg.enc_kernel - 1)],
-            lhs_dilation=(stride,),
+            padding=[(kp - 1, kp - 1)],
             dimension_numbers=("NWC", "WIO", "NWC"),
-        )[..., 0]
+        )                                               # [B', F+kp-1, stride]
+        y = y.reshape(y.shape[0], (frames + kp - 1) * stride)
+        y = y[:, : (frames - 1) * stride + cfg.enc_kernel]
         y = y[:, : t_in + pad][:, :t_in]
         return y.reshape(wav.shape[0], cfg.n_src, t_in)
 
