@@ -52,7 +52,11 @@ def resample(x: jnp.ndarray, orig_sr: int, target_sr: int) -> jnp.ndarray:
 
     batch_shape = x.shape[:-1]
     xf = x.reshape((-1, 1, n_in))  # NCW
-    # upsample by input dilation, filter, then take every `down`-th sample
+    # upsample by input dilation, filter, then take every `down`-th sample.
+    # NOTE: lhs_dilation compiles slowly on XLA:TPU (see ops/conv.py), but
+    # this op runs on the offline data-prep path (binarizer/wav_processors)
+    # and compiles once per (sr-pair, bucket) — the rational up/down phase
+    # decomposition isn't worth its index bookkeeping here.
     pad = (k - 1) // 2
     y = jax.lax.conv_general_dilated(
         xf,
