@@ -229,3 +229,28 @@ def test_bigvgan_pallas_aa_matches_literal():
     y_pal = BigVGANGenerator(cfg_pal).apply(params, mel)
     np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_lit),
                                atol=3e-6)
+
+
+def test_snake_aa_pallas_bf16_path():
+    """aa_bf16 + pallas combination: the kernel accepts bfloat16 tensors
+    (bf16 tiles are (16,128) — t_blk stays 16-aligned) and tracks the
+    literal bf16 chain within bf16 tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiogpt_tpu.models.vocoder.bigvgan import SnakeAA
+    from audiogpt_tpu.ops.snake_aa import snake_aa_pallas
+
+    rng = np.random.RandomState(0)
+    x32 = jnp.asarray(rng.randn(1, 48, 8).astype(np.float32))
+    ar = rng.randn(8).astype(np.float32) * 0.3
+    br = rng.randn(8).astype(np.float32) * 0.3
+    p = {"params": {"alpha": jnp.asarray(ar), "beta": jnp.asarray(br)}}
+    ref = SnakeAA(8, "snakebeta", True, bf16=True, poly=False).apply(p, x32)
+    got = snake_aa_pallas(x32.astype(jnp.bfloat16),
+                          jnp.exp(jnp.asarray(ar)).astype(jnp.bfloat16),
+                          jnp.exp(jnp.asarray(br)).astype(jnp.bfloat16),
+                          interpret=True)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=0.15)
