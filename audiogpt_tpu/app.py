@@ -199,9 +199,13 @@ def main(argv=None):
                          "compile in minutes cold; cached startups are "
                          "seconds)")
     ap.add_argument("--microbatch", type=float, default=None, metavar="MS",
-                    help="enable cross-request micro-batching for the TTS "
-                         "engine with the given linger window in ms "
-                         "(concurrent requests share one device call)")
+                    help="enable cross-request micro-batching for the tts "
+                         "and asr engines with the given linger window in "
+                         "ms. Coalescing happens when multiple sessions "
+                         "(AppServers) share engine objects — within ONE "
+                         "chat conversation the agent turn is serialized, "
+                         "so requests reach the batcher one at a time and "
+                         "the flag only adds the linger window")
     ap.add_argument("--ckpt", action="append", default=[],
                     metavar="ENGINE=DIR",
                     help="load an orbax params dir (import_ckpt / trainer "

@@ -76,6 +76,14 @@ class ASREngine(Engine):
         )
         return np.asarray(toks)
 
+    def _tokens_to_text(self, toks, task: str, language: int) -> str:
+        dec = getattr(self, "text_decoder", None)
+        prompt_len = len(self.sot_sequence(task, language))
+        body = [int(t) for t in toks[prompt_len:] if int(t) < EOT]
+        if dec is not None:
+            return dec(body)
+        return " ".join(str(t) for t in body)
+
     def transcribe(self, wav: np.ndarray, task: str = "translate",
                    language: int = 0) -> str:
         """→ text. Uses ``self.text_decoder`` (a ``tokens -> str`` callable,
@@ -83,9 +91,20 @@ class ASREngine(Engine):
         raw token-id string so the pipeline stays drivable without vocab
         files."""
         toks = self.transcribe_tokens(wav, task, language)[0]
-        dec = getattr(self, "text_decoder", None)
-        prompt_len = len(self.sot_sequence(task, language))
-        body = [int(t) for t in toks[prompt_len:] if int(t) < EOT]
-        if dec is not None:
-            return dec(body)
-        return " ".join(str(t) for t in body)
+        return self._tokens_to_text(toks, task, language)
+
+    def transcribe_batch(self, wavs, task: str = "translate",
+                         language: int = 0) -> list[str]:
+        """Many wavs → texts through ONE whisper program. The batch pads to
+        a dyadic size so the jitted encoder+decode compiles once per bucket
+        (not once per concurrent-request count); dummy rows are dropped."""
+        n = len(wavs)
+        nb = 1
+        while nb < n:
+            nb *= 2
+        top = max(len(w) for w in wavs)
+        stack = np.zeros((nb, top), np.float32)
+        for i, w in enumerate(wavs):
+            stack[i, : len(w)] = np.asarray(w, np.float32)
+        toks = self.transcribe_tokens(stack, task, language)[:n]
+        return [self._tokens_to_text(row, task, language) for row in toks]

@@ -141,37 +141,23 @@ class BatchedTTS:
 
 
 class BatchedASR:
-    """Micro-batching proxy for an ASR engine: concurrent ``transcribe``
-    calls ride ONE whisper encoder+decode program (``transcribe_tokens``
-    already takes [B, T]); every other attribute proxies to the engine."""
+    """Micro-batching proxy for an ASR engine: concurrent default-task
+    ``transcribe`` calls ride ONE whisper program via
+    :meth:`ASREngine.transcribe_batch` (dyadic batch buckets, decode logic
+    stays on the engine). Non-default ``task``/``language`` requests bypass
+    the batcher (they change the SOT prompt, so they can't share a batch).
+    Every other attribute proxies to the engine.
+    """
 
     def __init__(self, engine, max_batch: int = 8, window_ms: float = 8.0):
-        import numpy as np
-
         self.engine = engine
+        self.batcher = MicroBatcher(engine.transcribe_batch,
+                                    max_batch=max_batch, window_ms=window_ms,
+                                    name="asr")
 
-        def batch_fn(wavs):
-            n = len(wavs)
-            top = max(len(w) for w in wavs)
-            stack = np.zeros((n, top), np.float32)
-            for i, w in enumerate(wavs):
-                stack[i, : len(w)] = w
-            toks = engine.transcribe_tokens(stack)
-            from audiogpt_tpu.engines.asr import EOT
-
-            dec = getattr(engine, "text_decoder", None)
-            prompt_len = len(engine.sot_sequence())
-            outs = []
-            for row in toks:
-                body = [int(t) for t in row[prompt_len:] if int(t) < EOT]
-                outs.append(dec(body) if dec is not None
-                            else " ".join(str(t) for t in body))
-            return outs
-
-        self.batcher = MicroBatcher(batch_fn, max_batch=max_batch,
-                                    window_ms=window_ms, name="asr")
-
-    def transcribe(self, wav):
+    def transcribe(self, wav, task: str = "translate", language: int = 0):
+        if task != "translate" or language != 0:
+            return self.engine.transcribe(wav, task, language)
         return self.batcher(wav)
 
     def __getattr__(self, name):
