@@ -303,3 +303,55 @@ def test_microbatched_tts_server(tmp_path):
     finally:
         httpd.shutdown()
         proxy.batcher.close()
+
+
+def test_microbatch_coalesces_across_sessions(tmp_path):
+    """The documented micro-batching deployment shape: multiple AppServer
+    sessions share one BatchedTTS — concurrent tool turns from DIFFERENT
+    conversations coalesce into fewer device batches (within one
+    conversation the agent turn is serialized, so sharing is where the
+    batching win lives)."""
+    from audiogpt_tpu.engines.tts import TTSEngine
+    from audiogpt_tpu.serving.batcher import BatchedTTS
+
+    proxy = BatchedTTS(TTSEngine(), window_ms=150.0)
+    n = 3
+    servers = []
+    try:
+        for i in range(n):
+            llm = ScriptedLLM(
+                ["Thought: Do I need to use a tool? Yes\n"
+                 "Action: Synthesize Speech Given the User Input Text\n"
+                 f"Action Input: session {i} says hello",
+                 "Thought: Do I need to use a tool? No\nAI: spoken."])
+            app = AppServer(llm, {"tts": proxy},
+                            media_root=str(tmp_path / f"s{i}"))
+            httpd = make_server(app, port=0)
+            threading.Thread(target=httpd.serve_forever, daemon=True).start()
+            servers.append((httpd, httpd.server_address[1]))
+        # warm the compile so the timed window isn't distorted
+        proxy.engine.batch_synthesize(["warm up"])
+
+        results = [None] * n
+
+        def chat(i):
+            body = json.dumps({"text": "speak"}).encode()
+            results[i] = _req(servers[i][1], "/chat", body,
+                              {"Content-Type": "application/json"})
+
+        before = proxy.batcher.batches
+        threads = [threading.Thread(target=chat, args=(i,))
+                   for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for status, raw, _ in results:
+            assert status == 200 and json.loads(raw)["steps"]
+        made = proxy.batcher.batches - before
+        assert proxy.batcher.items >= n
+        assert made < n, f"expected coalescing across sessions, got {made}"
+    finally:
+        for httpd, _ in servers:
+            httpd.shutdown()
+        proxy.batcher.close()
