@@ -818,3 +818,64 @@ def test_pvt_cli_roundtrip(tmp_path, monkeypatch):
     y2 = model.apply(jax.tree.map(jnp.asarray, restored), wav)
     np.testing.assert_allclose(np.asarray(y1["clipwise_output"]),
                                np.asarray(y2["clipwise_output"]), atol=1e-6)
+
+
+def test_clip_vision_full_ckpt_ignores_text_tower(tmp_path):
+    """Regression: a 'model.'-prefixed FULL CLIP state dict (vision + text)
+    must convert the vision tower only — text-tower keys like
+    'model.transformer.resblocks...' / 'model.positional_embedding' used to
+    survive filtering and collide with the stripped vision names."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiogpt_tpu.import_ckpt import convert
+    from audiogpt_tpu.models.textenc.clip import (
+        CLIPVisionConfig, CLIPVisionEncoder,
+    )
+
+    torch.manual_seed(0)
+    cfg = CLIPVisionConfig(image_size=8, patch_size=4, width=16, layers=1,
+                           heads=2, embed_dim=12)
+    n = (cfg.image_size // cfg.patch_size) ** 2
+    rng = np.random.RandomState(0)
+
+    def dense(i, o):
+        return {"weight": rng.randn(o, i).astype(np.float32) * 0.05,
+                "bias": np.zeros(o, np.float32)}
+
+    sd = {}
+    sd["model.visual.conv1.weight"] = rng.randn(16, 3, 4, 4).astype(
+        np.float32) * 0.05
+    sd["model.visual.class_embedding"] = rng.randn(16).astype(np.float32)
+    sd["model.visual.positional_embedding"] = rng.randn(n + 1, 16).astype(
+        np.float32)
+    sd["model.visual.proj"] = rng.randn(16, 12).astype(np.float32)
+    for nm in ("ln_pre", "ln_post"):
+        sd[f"model.visual.{nm}.weight"] = np.ones(16, np.float32)
+        sd[f"model.visual.{nm}.bias"] = np.zeros(16, np.float32)
+    blk = "model.visual.transformer.resblocks.0"
+    sd[f"{blk}.attn.in_proj_weight"] = rng.randn(48, 16).astype(np.float32)
+    sd[f"{blk}.attn.in_proj_bias"] = np.zeros(48, np.float32)
+    for nm, (i, o) in (("attn.out_proj", (16, 16)),
+                       ("mlp.c_fc", (16, 64)), ("mlp.c_proj", (64, 16))):
+        d = dense(i, o)
+        sd[f"{blk}.{nm}.weight"] = d["weight"]
+        sd[f"{blk}.{nm}.bias"] = d["bias"]
+    for nm in ("ln_1", "ln_2"):
+        sd[f"{blk}.{nm}.weight"] = np.ones(16, np.float32)
+        sd[f"{blk}.{nm}.bias"] = np.zeros(16, np.float32)
+    # TEXT tower keys that previously collided after prefix stripping —
+    # wrong shapes on purpose so a collision would fail loudly
+    sd["model.positional_embedding"] = rng.randn(7, 10).astype(np.float32)
+    sd["model.transformer.resblocks.0.ln_1.weight"] = np.ones(10, np.float32)
+    sd["model.token_embedding.weight"] = rng.randn(9, 10).astype(np.float32)
+    sd["model.ln_final.weight"] = np.ones(10, np.float32)
+    sd["model.text_projection"] = rng.randn(10, 5).astype(np.float32)
+    sd["model.logit_scale"] = np.float32(1.0)
+
+    variables = convert("clip_vision", sd, cfg)
+    assert variables["params"]["positional_embedding"].shape == (n + 1, 16)
+    img = jnp.asarray(rng.randn(1, 8, 8, 3).astype(np.float32))
+    z = CLIPVisionEncoder(cfg).apply(jax.tree.map(jnp.asarray, variables),
+                                     img)
+    assert z.shape == (1, 12) and bool(jnp.isfinite(z).all())
