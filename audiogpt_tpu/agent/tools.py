@@ -69,6 +69,7 @@ class Tool:
     description: str
     fn: Callable[[str], str]
     media_kind: str = "audio"   # 'audio' | 'image' | 'video' | 'text'
+    media_root: str = "."       # RTF probing resolves paths against this
 
     def __call__(self, text: str) -> str:
         import time
@@ -81,8 +82,13 @@ class Tool:
         wall = time.perf_counter() - t0
         audio_s = 0.0
         if self.media_kind == "audio" and isinstance(out, str) \
-                and out.endswith(".wav") and os.path.isfile(out):
-            audio_s = _wav_seconds(out)
+                and out.endswith(".wav"):
+            # tool outputs may be media-root-relative (ADVICE r1: probing
+            # only against cwd silently zeroed audio_s → rtf=null in /stats)
+            for cand in (out, os.path.join(self.media_root, out)):
+                if os.path.isfile(cand):
+                    audio_s = _wav_seconds(cand)
+                    break
         meter.update(wall, audio_s)
         return out
 

@@ -65,7 +65,8 @@ def build_toolset(engines: Mapping[str, Any], root: str = ".",
     def add(key, name, description, fn, media_kind="audio",
             modes=("text",)):
         if mode in modes and key in e:
-            reg.add(Tool(name, description, fn, media_kind=media_kind))
+            reg.add(Tool(name, description, fn, media_kind=media_kind,
+                         media_root=root))
 
     # ---- generation ------------------------------------------------------
     if "t2a" in e:
@@ -278,7 +279,7 @@ def build_toolset(engines: Mapping[str, Any], root: str = ".",
                      "into binaural audio, receives audio_path as input. "
                      "The input to this tool should be a string, "
                      "representing the audio_path.",
-                     binaural_fn, media_kind="audio"))
+                     binaural_fn, media_kind="audio", media_root=root))
 
     # ---- external / video (callables only) -------------------------------
     for key, name, desc, kind, modes_ in (
@@ -300,6 +301,7 @@ def build_toolset(engines: Mapping[str, Any], root: str = ".",
          "video", ("text", "speech")),
     ):
         if key in e and mode in modes_:
-            reg.add(Tool(name, desc, e[key], media_kind=kind))
+            reg.add(Tool(name, desc, e[key], media_kind=kind,
+                         media_root=root))
 
     return reg

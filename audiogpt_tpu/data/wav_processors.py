@@ -118,11 +118,17 @@ def trim_long_silences(wav: np.ndarray, sr: int,
     # moving-average smoothing
     k = np.ones(smooth_width) / smooth_width
     voice = np.convolve(voice, k, mode="same") > 0.5 / smooth_width
-    # dilate: keep up to max_silence_frames around speech
+    # dilate with a centered structuring element (reference
+    # binary_dilation(mask, ones(vad_max_silence_length + 1))): ~half the
+    # window extends to each side, so a silent gap is kept only up to
+    # max_silence_frames TOTAL — not per side
     mask = voice.copy()
-    for s in range(1, max_silence_frames + 1):
-        mask[s:] |= voice[:-s]
-        mask[:-s] |= voice[s:]
+    left = max_silence_frames // 2
+    right = max_silence_frames - left
+    for s in range(1, right + 1):
+        mask[s:] |= voice[:-s]        # voice to the left keeps s frames after
+    for s in range(1, left + 1):
+        mask[:-s] |= voice[s:]        # voice to the right keeps s frames before
     keep = np.repeat(mask, spw)
     out = w[keep]
     if len(out) == 0:

@@ -10,6 +10,7 @@ FastSpeech2-class text→mel→wav pipeline.
 from __future__ import annotations
 
 import dataclasses
+import itertools
 
 import jax
 import numpy as np
@@ -256,7 +257,10 @@ class PortaSpeechTTSEngine(Engine):
             lambda p, toks, words, p2w, adj, rng: self.model.apply(
                 p, toks, words, p2w, graph_adj=adj, infer=True, rng=rng,
                 noise_scale=self.noise_scale)["mel_out"])
-        self._rng = jax.random.PRNGKey(rng_seed + 1)
+        # per-call keys derive via fold_in on an atomic counter so
+        # concurrent serving requests can't reuse/tear a key (ADVICE r1)
+        self._base_rng = jax.random.PRNGKey(rng_seed + 1)
+        self._call_counter = itertools.count()
 
     def text_to_mel(self, text: str) -> np.ndarray:
         pt = self.frontend(text)
@@ -278,7 +282,7 @@ class PortaSpeechTTSEngine(Engine):
             adj = np.zeros(
                 (1, self.cfg.n_edge_types, wids.shape[1], wids.shape[1]),
                 np.float32)
-        self._rng, key = jax.random.split(self._rng)
+        key = jax.random.fold_in(self._base_rng, next(self._call_counter))
         mel = np.asarray(self._fn(self.params, ids, wids, p2w, adj, key))[0]
         nz = np.nonzero(np.abs(mel).sum(-1) > 0)[0]
         end = int(nz[-1]) + 1 if len(nz) else 1

@@ -24,9 +24,11 @@ import sys
 
 
 def _load_params(path: str):
-    import orbax.checkpoint as ocp
+    # same loader as app.py --ckpt (ADVICE r1: a target-less raw orbax
+    # restore can yield a differently-typed tree for save_params output)
+    from audiogpt_tpu.import_ckpt import restore_params
 
-    return ocp.StandardCheckpointer().restore(path)
+    return restore_params(path)
 
 
 def main(argv=None):

@@ -52,15 +52,32 @@ def _heuristic_heads(words: list[str]) -> list[int]:
         return root
 
     last_root = -1
+    orphan_punct: list[int] = []   # punctuation before any clause root
     for i, w in enumerate(words):
         if w in _CLAUSE_PUNCT:
             r = close(clause)
             last_root = r if r >= 0 else last_root
-            heads[i] = last_root + 1 if last_root >= 0 else 0
+            if last_root >= 0:
+                heads[i] = last_root + 1
+            else:
+                orphan_punct.append(i)
             clause = []
         else:
             clause.append(i)
-    close(clause)
+    r = close(clause)
+    last_root = r if r >= 0 else last_root
+    # leading punctuation attaches to the FOLLOWING clause's root — head 0
+    # would make it a clause root itself and wire it into the type-5
+    # inter-clause graph (ADVICE r1)
+    if orphan_punct:
+        following = [i for i, h in enumerate(heads)
+                     if h == 0 and i not in set(orphan_punct)
+                     and words[i] not in _CLAUSE_PUNCT]
+        for i in orphan_punct:
+            nxt = next((r for r in following if r > i), None)
+            if nxt is None and following:
+                nxt = following[-1]
+            heads[i] = (nxt + 1) if nxt is not None else 0
     return heads
 
 

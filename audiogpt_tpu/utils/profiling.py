@@ -49,17 +49,24 @@ class Timer:
 
 
 class RTFMeter:
-    """Real-time-factor counter: feed (wall_seconds, audio_seconds) pairs."""
+    """Real-time-factor counter: feed (wall_seconds, audio_seconds) pairs.
+
+    Thread-safe: the serving layer updates meters from concurrent HTTP
+    handler threads (ADVICE r1)."""
 
     def __init__(self):
+        import threading
+
         self.wall = 0.0
         self.audio = 0.0
         self.calls = 0
+        self._lock = threading.Lock()
 
     def update(self, wall_s: float, audio_s: float):
-        self.wall += wall_s
-        self.audio += audio_s
-        self.calls += 1
+        with self._lock:
+            self.wall += wall_s
+            self.audio += audio_s
+            self.calls += 1
 
     @property
     def rtf(self) -> float:

@@ -276,6 +276,16 @@ def test_wav_processors_pipeline():
     assert len(out2) < len(wav) - sr  # dropped over a second of silence
     # energy preserved (speech kept)
     assert np.square(out2).sum() > 0.9 * np.square(wav).sum()
+    # the kept gap respects the named parameter TOTAL (ADVICE r1: the old
+    # per-side dilation kept up to 2x): default 12 x 30 ms = 360 ms, plus
+    # smoothing slack — well under the former 720 ms+
+    silent = np.abs(out2) < 1e-6
+    runs, cur = [], 0
+    for s in silent:
+        cur = cur + 1 if s else 0
+        runs.append(cur)
+    max_gap_ms = max(runs) * 1000 / sr
+    assert max_gap_ms <= (12 + 8) * 30 + 1, max_gap_ms
 
     # loudness normalization hits the target active RMS within 3 dB
     out3, _ = apply_processors(["loudness_norm"], speech * 0.01, sr)

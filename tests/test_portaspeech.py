@@ -74,6 +74,23 @@ def test_build_word_graph_external_heads():
     assert adj[5].sum() == 0      # single root, no inter-clause edges
 
 
+def test_leading_punctuation_not_a_root():
+    """ADVICE r1: punctuation before any clause used to get head 0 and join
+    the type-5 inter-clause root graph; it must attach to the next clause."""
+    from audiogpt_tpu.text.syntax import _heuristic_heads
+
+    words = [",", "hello", "world", ".", "more", "words"]
+    heads = _heuristic_heads(words)
+    assert heads[0] != 0                       # not a root
+    roots = [i for i, h in enumerate(heads) if h == 0]
+    assert 0 not in roots and len(roots) == 2  # the two real clause roots
+    assert heads[0] - 1 in roots and heads[0] - 1 > 0  # points at a real root
+    adj = build_word_graph(words)
+    # inter-clause (type 5) edges only connect the two real roots
+    nz = np.argwhere(adj[5] > 0)
+    assert nz.size and all(i in roots and j in roots for i, j in nz)
+
+
 def test_batch_word_graphs_pads():
     out = batch_word_graphs([["a", "b"], ["x", "y", "z"]], max_words=5)
     assert out.shape == (2, N_EDGE_TYPES, 5, 5)
