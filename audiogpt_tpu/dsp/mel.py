@@ -121,6 +121,11 @@ LDM_MEL_16K = MelSpec(16000, 1024, 256, 1024, 80, 125.0, 7600.0,
                       power=1.0, pad_mode="constant", log="log10", amin=1e-5)
 PANNS_MEL_32K = MelSpec(32000, 1024, 320, 1024, 64, 50.0, 14000.0,
                         power=2.0, pad_mode="reflect", log="db10", amin=1e-10)
+# HTSAT-tiny CLAP audio tower (open_clap/model_configs/HTSAT-tiny.json:
+# sr 48k, nfft/win 1024, hop 480, 64 mels, 50-14000 Hz; torchlibrosa
+# Spectrogram power 2 + LogmelFilterBank ref=1 amin=1e-10 top_db=None)
+HTSAT_MEL_48K = MelSpec(48000, 1024, 480, 1024, 64, 50.0, 14000.0,
+                        power=2.0, pad_mode="reflect", log="db10", amin=1e-10)
 CAPTION_MEL_32K = PANNS_MEL_32K
 NEURALSEQ_MEL_22K = MelSpec(22050, 1024, 256, 1024, 80, 80.0, 7600.0,
                             power=1.0, pad_mode="constant", log="log10", amin=1e-5)

@@ -67,6 +67,7 @@ def convert(family: str, sd: Mapping[str, np.ndarray], cfg: Any) -> dict:
         "clip_vision": ti.convert_clip_vision,
         "clip_text_tower": ti.convert_clip_text_tower,
         "diffsinger": ti.convert_diffsinger,
+        "htsat": ti.convert_htsat,
     }
     if family not in table:
         raise KeyError(f"unknown family {family!r}; have {sorted(table)}")

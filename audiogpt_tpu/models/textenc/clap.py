@@ -148,18 +148,25 @@ class CLAPScorer:
     def __init__(self, text_cfg: CLAPTextConfig | None = None,
                  text_params=None, audio_params=None, tokenizer=None,
                  sample_rate: int = 32000, audio_tower: str = "pann",
-                 rng_seed: int = 0):
+                 audio_cfg=None, rng_seed: int = 0):
         """``audio_tower``: 'pann' (Cnn14) or 'htsat' (Swin-audio) — the two
-        towers the reference's open_clap factory selects between."""
+        towers the reference's open_clap factory selects between.
+        ``audio_cfg``: optional HTSATConfig override (defaults to the
+        HTSAT-tiny checkpoint layout with ``d_proj`` from the text cfg)."""
         self.cfg = text_cfg or CLAPTextConfig()
         self.text = CLAPTextEncoder(self.cfg)
         if audio_tower == "htsat":
+            import dataclasses as _dc
+
             from audiogpt_tpu.models.textenc.htsat import (
                 HTSATAudioEncoder, HTSATConfig,
             )
 
-            self.audio = HTSATAudioEncoder(
-                HTSATConfig(d_proj=self.cfg.d_proj))
+            if audio_cfg is None:
+                audio_cfg = HTSATConfig(d_proj=self.cfg.d_proj)
+            elif audio_cfg.d_proj != self.cfg.d_proj:
+                audio_cfg = _dc.replace(audio_cfg, d_proj=self.cfg.d_proj)
+            self.audio = HTSATAudioEncoder(audio_cfg)
         else:
             self.audio = CLAPAudioEncoder(self.cfg.d_proj)
         self.tokenizer = tokenizer or WordPieceTokenizer(

@@ -894,3 +894,68 @@ def convert_diffsinger(sd: Mapping[str, np.ndarray], cfg) -> dict:
         {k: v for k, v in sd.items() if k.startswith("denoise_fn.")},
         cfg.net)["params"]
     return {"params": {"fs2": fs2, "denoiser": net}}
+
+
+# ---------------------------------------------------------------------------
+# HTSAT (open_clap/htsat.py HTSAT_Swin_Transformer) — the CLAP audio tower
+# ---------------------------------------------------------------------------
+
+
+def convert_htsat(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """``HTSAT_Swin_Transformer`` state dict →
+    :class:`audiogpt_tpu.models.textenc.htsat.HTSATAudioEncoder` params.
+
+    Accepts bare tower dicts and the ``audio_branch.``-prefixed keys inside a
+    full CLAP checkpoint (open_clap/model.py:467); when ``audio_projection.*``
+    keys are present (model.py:540 Linear-ReLU-Linear) they map onto the
+    ``projection`` module. The reference's ``head`` linear is dead code in
+    ``forward_features`` (htsat.py:964) and is ignored.
+    """
+    sd = {k.removeprefix("sed_model.").removeprefix("audio_branch.")
+          .removeprefix("module."): np.asarray(v) for k, v in sd.items()}
+
+    def conv2d(prefix):
+        out = {"kernel": np.asarray(sd[prefix + ".weight"]).transpose(
+            2, 3, 1, 0).astype(np.float32)}
+        if prefix + ".bias" in sd:
+            out["bias"] = np.asarray(sd[prefix + ".bias"]).astype(np.float32)
+        return out
+
+    swin: dict = {
+        "patch_proj": conv2d("patch_embed.proj"),
+        "patch_norm": _ln_t(sd, "patch_embed.norm"),
+        "norm": _ln_t(sd, "norm"),
+        "tscam_conv": conv2d("tscam_conv"),
+    }
+    for i, depth in enumerate(cfg.depths):
+        for d in range(depth):
+            b = f"layers.{i}.blocks.{d}"
+            swin[f"layer{i}_block{d}"] = {
+                "norm1": _ln_t(sd, f"{b}.norm1"),
+                "norm2": _ln_t(sd, f"{b}.norm2"),
+                "attn": {
+                    "qkv": _dense(sd, f"{b}.attn.qkv"),
+                    "proj": _dense(sd, f"{b}.attn.proj"),
+                    "rel_pos_bias": np.asarray(
+                        sd[f"{b}.attn.relative_position_bias_table"]
+                    ).astype(np.float32),
+                },
+                "fc1": _dense(sd, f"{b}.mlp.fc1"),
+                "fc2": _dense(sd, f"{b}.mlp.fc2"),
+            }
+        if i < len(cfg.depths) - 1:
+            swin[f"downsample{i}"] = {
+                "norm": _ln_t(sd, f"layers.{i}.downsample.norm"),
+                "reduction": _nobias_dense(sd, f"layers.{i}.downsample.reduction"),
+            }
+    params: dict = {
+        "bn0_scale": np.asarray(sd["bn0.weight"]).astype(np.float32),
+        "bn0_bias": np.asarray(sd["bn0.bias"]).astype(np.float32),
+        "bn0_mean": np.asarray(sd["bn0.running_mean"]).astype(np.float32),
+        "bn0_var": np.asarray(sd["bn0.running_var"]).astype(np.float32),
+        "swin": swin,
+    }
+    if "audio_projection.0.weight" in sd:
+        params["projection"] = {"fc1": _dense(sd, "audio_projection.0"),
+                                "fc2": _dense(sd, "audio_projection.2")}
+    return {"params": params}

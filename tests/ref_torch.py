@@ -134,12 +134,24 @@ def _shim_torchlibrosa():
         m.__spec__ = importlib.machinery.ModuleSpec(name, None)
         return m
 
+    import torch
+
+    class _FakeModule(torch.nn.Module):
+        """Instantiable no-op: HTSAT assigns these as submodules in
+        ``__init__`` (its forward_features path never calls them)."""
+
+        def __init__(self, *args, **kwargs):
+            super().__init__()
+
+        def forward(self, *args, **kwargs):  # pragma: no cover
+            raise NotImplementedError("torchlibrosa shim called")
+
     fake = _mod("torchlibrosa")
     fake.augmentation = _mod("torchlibrosa.augmentation")
     fake.stft = _mod("torchlibrosa.stft")
-    fake.augmentation.SpecAugmentation = object
-    fake.stft.Spectrogram = object
-    fake.stft.LogmelFilterBank = object
+    fake.augmentation.SpecAugmentation = _FakeModule
+    fake.stft.Spectrogram = _FakeModule
+    fake.stft.LogmelFilterBank = _FakeModule
     sys.modules["torchlibrosa"] = fake
     sys.modules["torchlibrosa.augmentation"] = fake.augmentation
     sys.modules["torchlibrosa.stft"] = fake.stft
@@ -150,3 +162,64 @@ def add_tsd_path():
     p = f"{_REF}/audio_detection"
     if p not in sys.path:
         sys.path.insert(0, p)
+
+
+def _shim_torchvision():
+    """utils.py (open_clap) imports torchvision.ops.misc.FrozenBatchNorm2d;
+    the HTSAT paths under test never touch it."""
+    if "torchvision" in sys.modules:
+        return
+    import importlib.machinery
+
+    import torch
+
+    def _mod(name):
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        return m
+
+    tv = _mod("torchvision")
+    tv.ops = _mod("torchvision.ops")
+    tv.ops.misc = _mod("torchvision.ops.misc")
+    tv.ops.misc.FrozenBatchNorm2d = torch.nn.Identity
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.ops"] = tv.ops
+    sys.modules["torchvision.ops.misc"] = tv.ops.misc
+
+
+def _shim_misc(names=("h5py", "tqdm")):
+    import importlib.machinery
+    import importlib.util
+
+    for n in names:
+        if n in sys.modules or importlib.util.find_spec(n) is not None:
+            continue
+        m = types.ModuleType(n)
+        m.__spec__ = importlib.machinery.ModuleSpec(n, None)
+        if n == "tqdm":
+            m.tqdm = lambda x, *a, **k: x
+        sys.modules[n] = m
+
+
+def load_open_clap_htsat():
+    """Import the reference ``open_clap/htsat.py`` WITHOUT running the heavy
+    ``open_clap/__init__`` (transformers/torchvision/h5py chain): register a
+    synthetic package whose __path__ is the open_clap dir, so htsat's
+    relative imports (.utils, .feature_fusion) resolve directly."""
+    _shim_torchlibrosa()
+    _shim_torchvision()
+    _shim_misc()
+    import importlib
+
+    name = "ref_open_clap"
+    if name not in sys.modules:
+        pkg = types.ModuleType(name)
+        pkg.__path__ = [f"{_REF}/text_to_audio/Make_An_Audio/ldm/modules/"
+                        "encoders/open_clap"]
+        import importlib.machinery
+
+        pkg.__spec__ = importlib.machinery.ModuleSpec(
+            name, None, is_package=True)
+        pkg.__spec__.submodule_search_locations = pkg.__path__
+        sys.modules[name] = pkg
+    return importlib.import_module(f"{name}.htsat")

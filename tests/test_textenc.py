@@ -82,17 +82,25 @@ class TestWordPiece:
 class TestHTSAT:
     """Swin-audio CLAP tower (open_clap/htsat.py)."""
 
+    TINY_HTSAT = None  # built lazily (MelSpec import inside tests)
+
+    @staticmethod
+    def _tiny_cfg(d_proj=32):
+        from audiogpt_tpu.dsp.mel import MelSpec
+        from audiogpt_tpu.models.textenc.htsat import HTSATConfig
+
+        mel = MelSpec(32000, 1024, 320, 1024, 16, 50.0, 14000.0,
+                      power=2.0, pad_mode="reflect", log="db10", amin=1e-10)
+        return HTSATConfig(mel=mel, spec_size=64, patch=4, window=8,
+                           embed_dim=8, depths=(1, 1), num_heads=(2, 2),
+                           num_classes=10, d_proj=d_proj)
+
     def test_embedding_shape(self):
         import jax
-        import jax.numpy as jnp
         import numpy as np
-        from audiogpt_tpu.models.textenc.htsat import (
-            HTSATAudioEncoder, HTSATConfig,
-        )
+        from audiogpt_tpu.models.textenc.htsat import HTSATAudioEncoder
 
-        cfg = HTSATConfig(img_frames=64, embed_dim=8, depths=(1, 1),
-                          num_heads=(2, 2), window=4, d_proj=32)
-        model = HTSATAudioEncoder(cfg)
+        model = HTSATAudioEncoder(self._tiny_cfg())
         wav = jax.random.normal(jax.random.PRNGKey(0), (2, 32000)) * 0.1
         params = model.init(jax.random.PRNGKey(1), wav)
         z = model.apply(params, wav)
@@ -108,24 +116,11 @@ class TestHTSAT:
         from audiogpt_tpu.models.textenc.bert import BertConfig
         from audiogpt_tpu.models.textenc.clap import CLAPScorer, CLAPTextConfig
 
-        # tiny towers end-to-end through the scorer
-        from audiogpt_tpu.models.textenc import htsat as _h
-        import dataclasses as _dc
-
-        scorer = CLAPScorer.__new__(CLAPScorer)
-        # use the public constructor with a small text cfg; audio tower htsat
         cfg = CLAPTextConfig(bert=BertConfig(vocab_size=200, hidden_size=16,
                                              num_layers=1, num_heads=2,
                                              intermediate_size=32), d_proj=32)
-        import audiogpt_tpu.models.textenc.htsat as hmod
-        orig = hmod.HTSATConfig
-        hmod.HTSATConfig = lambda d_proj: orig(
-            img_frames=64, embed_dim=8, depths=(1, 1), num_heads=(2, 2),
-            window=4, d_proj=d_proj)
-        try:
-            scorer = CLAPScorer(cfg, audio_tower="htsat", sample_rate=32000)
-        finally:
-            hmod.HTSATConfig = orig
+        scorer = CLAPScorer(cfg, audio_tower="htsat", sample_rate=32000,
+                            audio_cfg=self._tiny_cfg())
         wavs = np.random.default_rng(0).normal(size=(3, 32000)).astype(
             np.float32) * 0.1
         scores = scorer.score("a dog barking", wavs)
