@@ -14,8 +14,9 @@ from audiogpt_tpu.data.binarizer import (
     BinarizeConfig, Item, SVSBinarizer, SVSItem, TTSBinarizer,
     load_phone_encoder, load_split, load_word_encoder, mel2ph_from_durations,
 )
-from audiogpt_tpu.data.loader import (TTSDataLoader, VocoderDataLoader,
-    collate_tts, collate_vocoder, prefetch)
+from audiogpt_tpu.data.loader import (ArrayDataLoader, TTSDataLoader,
+    VocoderDataLoader, collate_audio_text, collate_mel_image,
+    collate_mixture, collate_tagging, collate_tts, collate_vocoder, prefetch)
 from audiogpt_tpu.data.records import RecordDataset, RecordWriter
 
 __all__ = [
@@ -23,7 +24,9 @@ __all__ = [
     "collate_2d", "ordered_indices", "BinarizeConfig", "Item",
     "TTSBinarizer", "SVSBinarizer", "SVSItem", "load_phone_encoder",
     "load_split", "load_word_encoder",
-    "mel2ph_from_durations", "TTSDataLoader", "VocoderDataLoader", "collate_tts",
+    "mel2ph_from_durations", "ArrayDataLoader", "TTSDataLoader",
+    "VocoderDataLoader", "collate_audio_text", "collate_mel_image",
+    "collate_mixture", "collate_tagging", "collate_tts",
     "collate_vocoder", "prefetch",
     "RecordDataset", "RecordWriter",
 ]

@@ -28,12 +28,14 @@ from audiogpt_tpu.data.records import RecordDataset
 
 
 def collate_tts(samples: list[dict[str, Any]], spec: BucketSpec | None,
-                n_mels: int) -> dict[str, np.ndarray]:
+                n_mels: int, wav_hop: int | None = None) -> dict[str, np.ndarray]:
     """Pad a list of binarized TTS records into one static-shape batch.
 
     Emits the reference's batch schema (``dataset_utils.py`` collater):
     txt_tokens, txt_lengths, mels, mel_lengths, (f0, uv, pitch, mel2ph,
     cwt_spec when present), spk_ids, plus ``weight`` [B] marking real rows.
+    ``wav_hop`` additionally emits sample-level ``wav`` padded to
+    ``mel_len * wav_hop`` for end-to-end (VITS-class) recipes.
     """
     tok_len = max(len(s["tokens"]) for s in samples)
     mel_len = max(s["mel"].shape[0] for s in samples)
@@ -99,6 +101,19 @@ def collate_tts(samples: list[dict[str, Any]], spec: BucketSpec | None,
                 pad_w = word_len - a.shape[1]
                 adjs.append(np.pad(a, ((0, 0), (0, pad_w), (0, pad_w))))
             batch["graph_adj"] = pad_rows(np.stack(adjs))
+    if "spec" in samples[0]:
+        # linear spectrogram frames (VISinger posterior input), same frame
+        # axis as the mel
+        batch["spec"] = pad_rows(collate_2d(
+            [np.asarray(s["spec"], np.float32) for s in samples],
+            max_len=mel_len))
+    if wav_hop is not None and "wav" in samples[0]:
+        n = mel_len * wav_hop
+        wavs = []
+        for s in samples:
+            w = np.asarray(s["wav"], np.float32)[:n]
+            wavs.append(np.pad(w, (0, n - len(w))))
+        batch["wav"] = pad_rows(np.stack(wavs))
     if "cwt_spec" in samples[0]:
         batch["cwt_spec"] = pad_rows(collate_2d(
             [s["cwt_spec"] for s in samples], max_len=mel_len))
@@ -243,3 +258,130 @@ class VocoderDataLoader:
             idx = [next(it) for _ in range(self.batch_size)]
             yield collate_vocoder([self.ds[i] for i in idx],
                                   self.segment_frames, self.hop, self.rng)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-shape collates for the non-TTS recipes (LDM/VAE/CLAP/SED/caption/
+# separation). Each emits one static shape per loader config so the jitted
+# train step compiles exactly once; short rows zero-pad, dummy rows carry
+# weight 0 (same discipline as collate_tts).
+# ---------------------------------------------------------------------------
+
+def _pad_or_crop_1d(x: np.ndarray, n: int) -> np.ndarray:
+    x = np.asarray(x, np.float32)[:n]
+    return np.pad(x, (0, n - len(x)))
+
+
+def _pad_tokens(tok, n: int) -> np.ndarray:
+    t = np.asarray(tok, np.int32)[:n]
+    return np.pad(t, (0, n - len(t)))
+
+
+def collate_mel_image(samples: list[dict], width: int,
+                      text_len: int | None = None) -> dict[str, np.ndarray]:
+    """LDM/VAE batch: records with ``mel`` [T, M] in LDM domain [0, 1]
+    (``TRANSFORMS_16000`` output, extract_mel_spectrogram.py:140) → VAE-domain
+    images [B, M, width, 1] in [-1, 1]; optional CLAP ``text_ids``."""
+    mels = []
+    for s in samples:
+        # records store [T, M] (binarizer convention) → image rows = mels
+        m = np.asarray(s["mel"], np.float32).T
+        m = m[:, :width]
+        m = np.pad(m, ((0, 0), (0, width - m.shape[1])))
+        mels.append(m * 2.0 - 1.0)
+    batch = {"mels": np.stack(mels)[..., None],
+             "weight": np.ones(len(samples), np.float32)}
+    if text_len is not None and "text_ids" in samples[0]:
+        batch["text_ids"] = np.stack(
+            [_pad_tokens(s["text_ids"], text_len) for s in samples])
+        batch["text_mask"] = (batch["text_ids"] != 0).astype(np.int32)
+    return batch
+
+
+def collate_tagging(samples: list[dict], n_samples: int) -> dict[str, np.ndarray]:
+    """SED batch: ``wav`` [T] + multi-hot ``target`` [C] (AudioSet tagging,
+    audio_infer/pytorch/main.py:377 train loop schema)."""
+    return {
+        "wav": np.stack([_pad_or_crop_1d(s["wav"], n_samples) for s in samples]),
+        "wav_len": np.asarray([min(len(s["wav"]), n_samples) for s in samples],
+                              np.int32),
+        "target": np.stack([np.asarray(s["target"], np.float32)
+                            for s in samples]),
+        "weight": np.ones(len(samples), np.float32),
+    }
+
+
+def collate_audio_text(samples: list[dict], n_samples: int, text_len: int,
+                       schema: str = "caption") -> dict[str, np.ndarray]:
+    """Caption batch (``tokens``/``token_len``) or CLAP contrastive batch
+    (``text_ids``/``text_mask``) over fixed-length wav crops."""
+    wav = np.stack([_pad_or_crop_1d(s["wav"], n_samples) for s in samples])
+    wav_len = np.asarray([min(len(s["wav"]), n_samples) for s in samples],
+                         np.int32)
+    base = {"wav": wav, "wav_len": wav_len,
+            "weight": np.ones(len(samples), np.float32)}
+    key = "tokens" if schema == "caption" else "text_ids"
+    toks = np.stack([_pad_tokens(s[key], text_len) for s in samples])
+    if schema == "caption":
+        base["tokens"] = toks
+        base["token_len"] = np.asarray(
+            [min(len(s[key]), text_len) for s in samples], np.int32)
+    else:
+        base["text_ids"] = toks
+        base["text_mask"] = (toks != 0).astype(np.int32)
+    return base
+
+
+def collate_mixture(samples: list[dict], n_samples: int) -> dict[str, np.ndarray]:
+    """Separation batch: ``mix`` [T] + ``sources`` [n_src, T]."""
+    mixes, srcs = [], []
+    for s in samples:
+        mixes.append(_pad_or_crop_1d(s["mix"], n_samples))
+        srcs.append(np.stack([_pad_or_crop_1d(x, n_samples)
+                              for x in np.asarray(s["sources"], np.float32)]))
+    return {"mix": np.stack(mixes), "sources": np.stack(srcs),
+            "weight": np.ones(len(samples), np.float32)}
+
+
+class ArrayDataLoader:
+    """Fixed-batch, fixed-shape loader for the non-bucketed recipes.
+
+    One static shape per instance → one compile. The final short batch of an
+    epoch pads with dummy rows (weight 0) so the shape never changes.
+    ``endless=True`` (training) reshuffles per epoch forever; ``epoch(e)``
+    yields a single deterministic pass (validation)."""
+
+    def __init__(self, ds, collate: Callable[[list[dict]], dict],
+                 batch_size: int, shuffle: bool = True, seed: int = 1234,
+                 shard: int = 0, num_shards: int = 1):
+        self.ds = ds
+        self.collate = collate
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.shard, self.num_shards = shard, num_shards
+
+    def _pad_batch(self, batch: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+        n = len(batch["weight"])
+        if n == self.batch_size:
+            return batch
+        pad = self.batch_size - n
+        out = {k: np.concatenate([v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+               for k, v in batch.items()}
+        out["weight"][n:] = 0.0
+        return out
+
+    def epoch(self, epoch: int) -> Iterator[dict[str, np.ndarray]]:
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.default_rng((self.seed, epoch)).shuffle(idx)
+        idx = idx[self.shard::self.num_shards]
+        for i in range(0, len(idx), self.batch_size):
+            chunk = [self.ds[int(j)] for j in idx[i: i + self.batch_size]]
+            yield self._pad_batch(self.collate(chunk))
+
+    def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
+        e = 0
+        while True:
+            yield from self.epoch(e)
+            e += 1

@@ -95,17 +95,73 @@ def build_task(cfg: Config):
             return PortaSpeechAdvTask(_fill(PortaSpeechAdvTaskConfig, {
                 "ps": ps_kw, **adv}))
         return PortaSpeechTask(_fill(PortaSpeechTaskConfig, ps_kw))
+    if name == "ldm":
+        # T2A latent diffusion (ddpm_audio.py:43 as pl.LightningModule)
+        from audiogpt_tpu.train.tasks import LDMTask, LDMTaskConfig
+
+        return LDMTask(_fill(LDMTaskConfig, {
+            **model, "optim": dataclasses.asdict(optim), **loss}))
+    if name == "vae":
+        # first-stage AutoencoderKL GAN recipe (ldm/models/autoencoder.py:305)
+        from audiogpt_tpu.train.tasks import VAETask, VAETaskConfig
+
+        return VAETask(_fill(VAETaskConfig, {
+            **model, "optim_vae": dataclasses.asdict(optim),
+            "optim_disc": dataclasses.asdict(optim), **loss}))
+    if name == "clap":
+        # contrastive audio-text pretraining (open_clap/loss.py:306 semantics)
+        from audiogpt_tpu.train.tasks import CLAPTask, CLAPTaskConfig
+
+        return CLAPTask(_fill(CLAPTaskConfig, {
+            **model, "optim": dataclasses.asdict(optim), **loss}))
+    if name == "sed":
+        # AudioSet tagging (audio_infer/pytorch/main.py:377)
+        from audiogpt_tpu.train.tasks import SEDTask, SEDTaskConfig
+
+        return SEDTask(_fill(SEDTaskConfig, {
+            "model": model, "optim": dataclasses.asdict(optim), **loss}))
+    if name == "caption":
+        from audiogpt_tpu.train.tasks import CaptionTask, CaptionTaskConfig
+
+        return CaptionTask(_fill(CaptionTaskConfig, {
+            "model": model, "optim": dataclasses.asdict(optim), **loss}))
+    if name == "separation":
+        from audiogpt_tpu.train.tasks import (
+            SeparationTask, SeparationTaskConfig,
+        )
+
+        return SeparationTask(_fill(SeparationTaskConfig, {
+            "model": model, "optim": dataclasses.asdict(optim), **loss}))
+    if name == "visinger":
+        from audiogpt_tpu.train.tasks import VISingerTask, VISingerTaskConfig
+
+        return VISingerTask(_fill(VISingerTaskConfig, {
+            "model": model, "disc": dict(cfg.get("disc", {})),
+            "optim_model": dataclasses.asdict(optim),
+            "optim_disc": dataclasses.asdict(optim), **loss}))
+    if name == "pe":
+        from audiogpt_tpu.train.tasks import PETask, PETaskConfig
+
+        return PETask(_fill(PETaskConfig, {
+            "model": model, "optim": dataclasses.asdict(optim), **loss}))
     raise ValueError(f"unknown task {name!r}")
 
 
 def build_loaders(cfg: Config, task_name: str):
+    import functools
+    import os as _os
+
     from audiogpt_tpu.data import (
-        BucketSpec, TTSDataLoader, VocoderDataLoader, load_split,
+        ArrayDataLoader, BucketSpec, TTSDataLoader, VocoderDataLoader,
+        collate_audio_text, collate_mel_image, collate_mixture,
+        collate_tagging, collate_tts, load_split,
     )
 
     d = cfg.get("data", {})
     bin_dir = d.get("binary_dir", "data/bin")
     train_ds = load_split(bin_dir, "train")
+    has_valid = _os.path.exists(_os.path.join(bin_dir, "valid.idx"))
+
     if task_name == "vocoder_gan":
         gen_cfg = cfg.get("model", {})
         import numpy as np
@@ -116,19 +172,68 @@ def build_loaders(cfg: Config, task_name: str):
                                    hop=hop,
                                    batch_size=cfg.get("batch_size", 16))
         return iter(loader), None
+
+    # fixed-shape (non-bucketed) recipes: one static shape per run
+    fixed_collates = {
+        "ldm": lambda: functools.partial(
+            collate_mel_image, width=d.get("width", 624),
+            text_len=d.get("text_len", 77)),
+        "vae": lambda: functools.partial(
+            collate_mel_image, width=d.get("width", 624)),
+        "sed": lambda: functools.partial(
+            collate_tagging,
+            n_samples=int(d.get("sample_rate", 32000)
+                          * d.get("clip_seconds", 10.0))),
+        "caption": lambda: functools.partial(
+            collate_audio_text,
+            n_samples=int(d.get("sample_rate", 32000)
+                          * d.get("clip_seconds", 10.0)),
+            text_len=d.get("text_len", 22), schema="caption"),
+        "clap": lambda: functools.partial(
+            collate_audio_text,
+            n_samples=int(d.get("sample_rate", 16000)
+                          * d.get("clip_seconds", 10.0)),
+            text_len=d.get("text_len", 77), schema="clap"),
+        "separation": lambda: functools.partial(
+            collate_mixture,
+            n_samples=int(d.get("sample_rate", 8000)
+                          * d.get("clip_seconds", 4.0))),
+    }
+    if task_name in fixed_collates:
+        collate = fixed_collates[task_name]()
+        bs = cfg.get("batch_size", 16)
+        train = ArrayDataLoader(train_ds, collate, batch_size=bs)
+
+        def val_fn():
+            return ArrayDataLoader(load_split(bin_dir, "valid"), collate,
+                                   batch_size=bs, shuffle=False).epoch(0)
+
+        return iter(train), (val_fn if has_valid else None)
+
+    # token-budget bucketed TTS/SVS recipes
     spec = BucketSpec.dyadic(d.get("max_len", 2048), d.get("max_batch", 64),
                              min_batch=d.get("min_batch", 8))
+    collate_fn = None
+    if task_name == "visinger":
+        # end-to-end SVS also consumes the waveform + linear spec; the
+        # decoder hop is the product of its upsample rates (HifiGANConfig)
+        import numpy as np
+
+        dec = cfg.get("model", {}).get("decoder", {})
+        hop = int(np.prod(tuple(dec.get("upsample_rates", (8, 8, 2, 2)))))
+        collate_fn = functools.partial(collate_tts, wav_hop=hop)
     train = TTSDataLoader(train_ds, max_tokens=d.get("max_tokens", 30000),
                           max_sentences=d.get("max_sentences", 100),
-                          spec=spec)
+                          spec=spec, collate_fn=collate_fn)
 
     def val_fn():
         val_ds = load_split(bin_dir, "valid")
         return TTSDataLoader(val_ds, max_tokens=d.get("max_tokens", 30000),
                              max_sentences=d.get("max_sentences", 100),
-                             spec=spec, shuffle=False).epoch(0)
+                             spec=spec, shuffle=False,
+                             collate_fn=collate_fn).epoch(0)
 
-    return iter(train), val_fn
+    return iter(train), (val_fn if has_valid else None)
 
 
 def main(argv=None):
