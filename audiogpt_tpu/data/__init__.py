@@ -18,6 +18,8 @@ from audiogpt_tpu.data.loader import (ArrayDataLoader, TTSDataLoader,
     VocoderDataLoader, collate_audio_text, collate_mel_image,
     collate_mixture, collate_tagging, collate_tts, collate_vocoder, prefetch)
 from audiogpt_tpu.data.records import RecordDataset, RecordWriter
+from audiogpt_tpu.data.textgrid import (is_sil_phoneme, mel2ph_from_textgrid,
+    parse_textgrid)
 
 __all__ = [
     "BucketSpec", "EndlessSampler", "batch_by_size", "collate_1d",
@@ -29,4 +31,5 @@ __all__ = [
     "collate_mixture", "collate_tagging", "collate_tts",
     "collate_vocoder", "prefetch",
     "RecordDataset", "RecordWriter",
+    "is_sil_phoneme", "mel2ph_from_textgrid", "parse_textgrid",
 ]

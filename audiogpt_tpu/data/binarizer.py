@@ -72,6 +72,9 @@ class Item:
     phones: Sequence[str] | None = None
     spk: str = "SPK1"
     durations: Sequence[int] | None = None
+    #: MFA TextGrid — a path or the raw file text (reference
+    #: base_binarizer.py:188 get_align); used when ``durations`` is absent
+    textgrid: str | None = None
 
 
 def mel2ph_from_durations(durations: Sequence[int], n_frames: int) -> np.ndarray:
@@ -180,6 +183,19 @@ class TTSBinarizer:
             ).astype(np.float32)
         if it.durations is not None:
             rec["mel2ph"] = mel2ph_from_durations(it.durations, mel.shape[0])
+        elif it.textgrid is not None:
+            import os
+
+            from audiogpt_tpu.data.textgrid import mel2ph_from_textgrid
+
+            tg_text = it.textgrid
+            if "\n" not in tg_text and os.path.exists(tg_text):
+                with open(tg_text) as f:
+                    tg_text = f.read()
+            mel2ph, dur = mel2ph_from_textgrid(
+                tg_text, phones, mel.shape[0], cfg.mel.sr, cfg.mel.hop)
+            rec["mel2ph"] = mel2ph
+            rec["dur"] = dur
         if cfg.with_wav:
             rec["wav"] = wav
         if self._style is not None:

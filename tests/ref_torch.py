@@ -223,3 +223,32 @@ def load_open_clap_htsat():
         pkg.__spec__.submodule_search_locations = pkg.__path__
         sys.modules[name] = pkg
     return importlib.import_module(f"{name}.htsat")
+
+
+def load_data_gen_utils():
+    """Import the reference ``data_gen/tts/data_gen_utils.py`` (the TextGrid
+    → mel2ph oracle). Shims parselmouth/webrtcvad/pyloudnorm/skimage (unused
+    by get_mel2ph) and restores numpy's removed ``np.float``/``np.int``
+    aliases the old code uses."""
+    import numpy as np
+
+    add_neuralseq_path()
+    _shim_misc(("parselmouth", "webrtcvad", "pyloudnorm"))
+    if "skimage" not in sys.modules:
+        import importlib.machinery
+
+        sk = types.ModuleType("skimage")
+        sk.__spec__ = importlib.machinery.ModuleSpec("skimage", None)
+        tr = types.ModuleType("skimage.transform")
+        tr.__spec__ = importlib.machinery.ModuleSpec("skimage.transform", None)
+        tr.resize = lambda *a, **k: None
+        sk.transform = tr
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.transform"] = tr
+    if not hasattr(np, "float"):
+        np.float = float  # removed in numpy>=1.24; old code still uses it
+    if not hasattr(np, "int"):
+        np.int = int
+    import importlib
+
+    return importlib.import_module("data_gen.tts.data_gen_utils")
