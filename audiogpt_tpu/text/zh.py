@@ -9,14 +9,20 @@ Reference components covered:
     external pypinyin dict in the reference) → initial/final phonemes with
     tone digits, ``|`` word separators.
 
-pypinyin is not in this image; hanzi→pinyin uses a built-in lexicon of common
-characters plus an optional user-supplied TSV (``char<TAB>pinyin␠tone``) for
-full coverage — pre-romanized (pinyin) input bypasses the lexicon entirely,
-which is also how the SVS score path feeds text (``base_svs_infer.py:72``).
+pypinyin is not in this image; hanzi→pinyin uses the bundled
+``zh_lexicon.tsv`` (19.5k chars, generated from the public Unicode CLDR
+pinyin/zhuyin collation tables by ``tools/build_zh_lexicon.py`` — pypinyin
+-class coverage without the wheel), the curated common-char mini-lexicon
+below (authoritative for context-free polyphone defaults), and an optional
+user-supplied TSV (``char<TAB>pinyin␠tone``). Out-of-lexicon behavior is
+explicit (``oov=`` policy). Pre-romanized (pinyin) input bypasses the
+lexicon entirely, which is also how the SVS score path feeds text
+(``base_svs_infer.py:72``).
 """
 
 from __future__ import annotations
 
+import os
 import re
 
 INITIALS = ["zh", "ch", "sh", "b", "p", "m", "f", "d", "t", "n", "l", "g",
@@ -135,10 +141,18 @@ def digits_to_hanzi(s: str) -> str:
     return "".join(_DIGITS[int(c)] if c.isdigit() else c for c in s)
 
 
+# fullwidth → halfwidth, same table as the reference processor
+# (txt_processors/zh.py:10-12)
+_FULLWIDTH = {ord(f): ord(t) for f, t in zip(
+    "：，。！？【】（）％＃＠＆１２３４５６７８９０",
+    ":,.!?[]()%#@&1234567890")}
+
+
 def normalize_zh(text: str) -> str:
-    """Rewrite numbers/percents/decimals into hanzi (NSWNormalizer scope)."""
-    def _percent(m):
-        return "百分之" + num_to_hanzi(int(m.group(1)))
+    """Rewrite non-standard words into hanzi readings (``text_norm.py``
+    NSWNormalizer scope): fullwidth forms, dates, clock times, fractions,
+    percents, decimals, ranges, phone numbers, years, cardinals."""
+    text = text.translate(_FULLWIDTH)
 
     def _decimal(m):
         return num_to_hanzi(int(m.group(1))) + "点" + digits_to_hanzi(m.group(2))
@@ -149,8 +163,48 @@ def normalize_zh(text: str) -> str:
     def _int(m):
         return num_to_hanzi(int(m.group(0)))
 
+    def _date(m):
+        y, mo, d = m.group(1), int(m.group(2)), int(m.group(3))
+        return (digits_to_hanzi(y) + "年" + num_to_hanzi(mo) + "月" +
+                num_to_hanzi(d) + "日")
+
+    def _md(m):
+        return num_to_hanzi(int(m.group(1))) + "月" + \
+            num_to_hanzi(int(m.group(2))) + m.group(3)
+
+    def _time(m):
+        h, mi = int(m.group(1)), int(m.group(2))
+        out = num_to_hanzi(h) + "点"
+        if mi:
+            out += ("零" if mi < 10 else "") + num_to_hanzi(mi) + "分"
+        if m.group(3):
+            out += num_to_hanzi(int(m.group(3))) + "秒"
+        return out
+
+    def _fraction(m):
+        return num_to_hanzi(int(m.group(2))) + "分之" + \
+            num_to_hanzi(int(m.group(1)))
+
+    def _range(m):
+        return num_to_hanzi(int(m.group(1))) + "到" + \
+            num_to_hanzi(int(m.group(2)))
+
+    def _phone(m):
+        return digits_to_hanzi(re.sub(r"[-\s]", "", m.group(0)))
+
     # (?<![a-zA-Z]) keeps tone digits glued to pinyin ('ni3') intact
-    text = re.sub(r"(?<![a-zA-Z])(\d+)%", _percent, text)
+    text = re.sub(r"(?<![a-zA-Z\d])1[3-9]\d{9}(?!\d)", _phone, text)  # mobile
+    text = re.sub(r"(?<![a-zA-Z\d])0\d{2,3}-\d{7,8}(?!\d)", _phone, text)
+    text = re.sub(r"(?<![a-zA-Z])(\d{2,4})[-/年](\d{1,2})[-/月](\d{1,2})日?",
+                  _date, text)
+    text = re.sub(r"(?<![a-zA-Z\d])(\d{1,2})月(\d{1,2})(日|号)", _md, text)
+    text = re.sub(r"(?<![a-zA-Z])(\d{1,2}):(\d{2})(?::(\d{2}))?(?!\d)",
+                  _time, text)
+    text = re.sub(r"(?<![a-zA-Z])(\d+)/(\d+)", _fraction, text)
+    text = re.sub(r"(?<![a-zA-Z])(\d+)[~～](\d+)", _range, text)
+    text = re.sub(r"(?<![a-zA-Z])(\d+(?:\.\d+)?)%", lambda m: "百分之" + (
+        _decimal(re.match(r"(\d+)\.(\d+)", m.group(1)))
+        if "." in m.group(1) else num_to_hanzi(int(m.group(1)))), text)
     text = re.sub(r"(?<![a-zA-Z])(\d+)\.(\d+)", _decimal, text)
     text = re.sub(r"(?<![a-zA-Z])(\d{4})年", _year, text)
     text = re.sub(r"(?<![a-zA-Z])\d+", _int, text)
@@ -172,15 +226,30 @@ def split_pinyin(syllable: str) -> list[str]:
     return [s]
 
 
+_BUNDLED_TSV = os.path.join(os.path.dirname(__file__), "zh_lexicon.tsv")
+
+
 class PinyinLexicon:
-    def __init__(self, path: str | None = None):
-        self.table = dict(_BUILTIN_LEXICON)
+    """hanzi → 'syllable+tone'. Load order (later wins): bundled CLDR-derived
+    TSV (19.5k chars) → curated builtin (polyphone context-free defaults) →
+    optional user TSV."""
+
+    def __init__(self, path: str | None = None, bundled: bool = True):
+        self.table: dict[str, str] = {}
+        if bundled and os.path.exists(_BUNDLED_TSV):
+            self._load(_BUNDLED_TSV)
+        self.table.update(_BUILTIN_LEXICON)
         if path:
-            with open(path, encoding="utf-8") as f:
-                for line in f:
-                    parts = line.rstrip("\n").split("\t")
-                    if len(parts) >= 2:
-                        self.table[parts[0]] = parts[1].replace(" ", "")
+            self._load(path)
+
+    def _load(self, path: str) -> None:
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                if line.startswith("#"):
+                    continue
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) >= 2:
+                    self.table[parts[0]] = parts[1].replace(" ", "")
 
     def __call__(self, char: str) -> str | None:
         return self.table.get(char)
@@ -196,8 +265,21 @@ class ZhFrontend:
 
     PUNCS = "!,.?;:、。！，？；："
 
-    def __init__(self, lexicon: PinyinLexicon | None = None):
+    def __init__(self, lexicon: PinyinLexicon | None = None,
+                 oov: str = "unk"):
+        """``oov``: out-of-lexicon hanzi policy — ``'unk'`` emits ``<UNK>``
+        (default, matches round-1 behavior), ``'skip'`` drops the char,
+        ``'raise'`` raises ``KeyError`` (strict data pipelines)."""
+        if oov not in ("unk", "skip", "raise"):
+            raise ValueError(f"oov policy {oov!r}")
         self.lexicon = lexicon or PinyinLexicon()
+        self.oov = oov
+
+    def _oov(self, char: str) -> list[str]:
+        if self.oov == "raise":
+            raise KeyError(f"hanzi {char!r} (U+{ord(char):04X}) not in "
+                           "pinyin lexicon")
+        return [] if self.oov == "skip" else ["<UNK>"]
 
     def __call__(self, text: str) -> list[str]:
         text = normalize_zh(text)
@@ -224,10 +306,8 @@ class ZhFrontend:
                 sep()
             else:
                 py = self.lexicon(token)
-                if py is None:
-                    phones.append("<UNK>")
-                else:
-                    phones.extend(split_pinyin(py))
+                phones.extend(self._oov(token) if py is None
+                              else split_pinyin(py))
                 sep()
         if phones and phones[-1] == "|":
             phones.pop()
@@ -244,8 +324,8 @@ class ZhTTSFrontend(ZhFrontend):
     """
 
     def __init__(self, lexicon: PinyinLexicon | None = None,
-                 phone_encoder=None):
-        super().__init__(lexicon)
+                 phone_encoder=None, oov: str = "unk"):
+        super().__init__(lexicon, oov=oov)
         self.phone_encoder = phone_encoder
 
     def __call__(self, text: str):
@@ -268,8 +348,11 @@ class ZhTTSFrontend(ZhFrontend):
                 continue
             else:
                 py = self.lexicon(token)
+                phs = split_pinyin(py) if py else self._oov(token)
+                if not phs:          # oov='skip'
+                    continue
                 words.append(token)
-                word_phs.append(split_pinyin(py) if py else ["<UNK>"])
+                word_phs.append(phs)
         phones: list[str] = []
         ph2word: list[int] = []
         for wi, phs in enumerate(word_phs, start=1):

