@@ -235,8 +235,12 @@ class T2AEngine(Engine):
     def inpaint(self, wav: np.ndarray, mask_time: np.ndarray,
                 text: str = "", ddim_steps: int = 100,
                 scale: float = 1.0) -> np.ndarray:
-        """``mask_time`` [frames] with 1 = KEEP original; regenerates the
-        rest. Fixed 848-frame window (pad/truncate, audio-chatgpt.py:463-470)."""
+        """``mask_time`` with 1 = KEEP original; regenerates the rest.
+        Accepts a 1-D time mask ``[frames]`` (text-specified ranges) or a
+        2-D time-frequency mask ``[frames, mel_bins]`` (the UI's sketch-
+        drawn mel mask, ``audio-chatgpt.py:1351-1374`` — drawn pixels are
+        inverted to keep=0 at the serving layer). Fixed 848-frame window
+        (pad/truncate, audio-chatgpt.py:463-470)."""
         cfg = self.cfg
         n = cfg.inpaint_mel_len * cfg.hop
         wav = np.asarray(wav, np.float32)
@@ -251,13 +255,26 @@ class T2AEngine(Engine):
         mel01 = mel[None].transpose(0, 2, 1)[..., None]  # [1, 80, frames, 1]
 
         mask = np.asarray(mask_time, np.float32)
-        mask = np.pad(mask, (0, max(0, cfg.inpaint_mel_len - len(mask))))[: cfg.inpaint_mel_len]
-        # latent mask: downsample by the VAE factor; frame-axis mask broadcast
         f = cfg.vae_factor
         lat_w = cfg.inpaint_mel_len // f
-        m = mask.reshape(lat_w, f).max(axis=1)
-        mask_latent = jnp.asarray(m)[None, None, :, None] * jnp.ones(
-            (1, cfg.mel_bins // f, lat_w, cfg.unet.in_channels))
+        if mask.ndim == 1:
+            mask = np.pad(mask, (0, max(0, cfg.inpaint_mel_len - len(mask))
+                                 ))[: cfg.inpaint_mel_len]
+            # latent mask: downsample by the VAE factor; broadcast over freq
+            m = mask.reshape(lat_w, f).max(axis=1)
+            mask_latent = jnp.asarray(m)[None, None, :, None] * jnp.ones(
+                (1, cfg.mel_bins // f, lat_w, cfg.unet.in_channels))
+        else:
+            # [frames, mel_bins] sketch mask → pad time, area-mean pool to
+            # the latent grid (soft edges, the analogue of the reference's
+            # F.interpolate on the drawn mask, audio-chatgpt.py:513)
+            mask = np.pad(mask, ((0, max(0, cfg.inpaint_mel_len -
+                                         mask.shape[0])), (0, 0)),
+                          constant_values=1.0)[: cfg.inpaint_mel_len]
+            m2 = mask.T  # [mel_bins, frames]
+            m2 = m2.reshape(cfg.mel_bins // f, f, lat_w, f).mean(axis=(1, 3))
+            mask_latent = jnp.asarray(m2)[None, :, :, None] * jnp.ones(
+                (1, cfg.mel_bins // f, lat_w, cfg.unet.in_channels))
 
         ctx = self.encode_text([text])
         uc = self.encode_text([""]) if scale != 1.0 else None

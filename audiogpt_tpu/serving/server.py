@@ -13,6 +13,11 @@ Endpoints (JSON unless noted):
   POST /chat          {"text": ...} → {response, steps, media}
   POST /upload        multipart or raw body w/ X-Filename — saves + ingests
   POST /speech        raw wav body → {transcript, response, audio}
+  POST /inpaint/show  {"audio": rel} → {image, frames, mel_bins} — drawable
+                      mel PNG (show_mel_fn:495)
+  POST /inpaint       {"audio": rel, "mask": b64/dataURL PNG, "text"?,
+                      "ddim_steps"?} → {audio} — sketch-mask regenerate
+                      (inpainting:1351)
   POST /clear         → resets agent memory
   GET  /media/<kind>/<file> → served artifact (audio/image/video)
 
@@ -137,6 +142,62 @@ class AppServer:
         return {"transcript": transcript, "response": response,
                 "audio": f"/media/{rel_audio}"}
 
+    def inpaint_show(self, audio_rel: str) -> dict:
+        """Render the clip's mel as a drawable PNG (``show_mel_fn``,
+        audio-chatgpt.py:495-503)."""
+        from audiogpt_tpu.serving.inpaint import (CROP_LEN, compute_mel,
+                                                  render_mel_png)
+        from audiogpt_tpu.utils.audio_io import load_wav
+
+        eng = self.engines.get("t2a")
+        if eng is None:
+            raise RuntimeError("inpainting needs the 't2a' engine")
+        wav, _ = load_wav(os.path.join(self.media_root, audio_rel),
+                          sr=eng.cfg.sample_rate)
+        mel = compute_mel(wav, eng.cfg)
+        png = render_mel_png(mel)
+        os.makedirs(os.path.join(self.media_root, "image"), exist_ok=True)
+        rel = os.path.join("image", f"{str(uuid.uuid4())[:8]}.png")
+        with open(os.path.join(self.media_root, rel), "wb") as f:
+            f.write(png)
+        return {"image": f"/media/{rel}", "path": rel,
+                "frames": min(CROP_LEN, mel.shape[0]),  # rendered width
+                "mel_bins": eng.cfg.mel_bins}
+
+    def inpaint(self, audio_rel: str, mask_png: bytes, text: str = "",
+                ddim_steps: int = 100) -> dict:
+        """Sketch-drawn mask → regenerated audio (``inpainting``,
+        audio-chatgpt.py:1351-1374). Drawn pixels (mask 1) are REGENERATED;
+        the engine wants 1 = KEEP, so invert here."""
+        import numpy as np
+
+        from audiogpt_tpu.serving.inpaint import decode_mask_png
+        from audiogpt_tpu.utils.audio_io import load_wav, save_wav
+
+        eng = self.engines.get("t2a")
+        if eng is None:
+            raise RuntimeError("inpainting needs the 't2a' engine")
+        wav, _ = load_wav(os.path.join(self.media_root, audio_rel),
+                          sr=eng.cfg.sample_rate)
+        regen = decode_mask_png(mask_png, mel_bins=eng.cfg.mel_bins)
+        with self._lock:
+            out = eng.inpaint(wav, 1.0 - regen, text=text,
+                              ddim_steps=ddim_steps)
+        os.makedirs(os.path.join(self.media_root, "audio"), exist_ok=True)
+        rel = os.path.join("audio", f"{str(uuid.uuid4())[:8]}.wav")
+        if out.ndim == 2 and out.shape[-1] == eng.cfg.mel_bins:
+            # no vocoder attached: return the inpainted mel as an artifact
+            from audiogpt_tpu.serving.inpaint import render_mel_png
+
+            rel = os.path.join("image", f"{str(uuid.uuid4())[:8]}.png")
+            os.makedirs(os.path.join(self.media_root, "image"), exist_ok=True)
+            with open(os.path.join(self.media_root, rel), "wb") as f:
+                f.write(render_mel_png(out, crop=out.shape[0]))
+            return {"image": f"/media/{rel}", "path": rel}
+        save_wav(np.asarray(out).ravel(),
+                 os.path.join(self.media_root, rel), eng.cfg.sample_rate)
+        return {"audio": f"/media/{rel}", "path": rel}
+
     def clear(self) -> None:
         with self._lock:
             self.agent.history = ""
@@ -217,6 +278,24 @@ class _Handler(BaseHTTPRequestHandler):
                 self._json(self.app.upload(filename, self._read_body()))
             elif self.path == "/speech":
                 self._json(self.app.speech_turn(self._read_body()))
+            elif self.path == "/inpaint/show":
+                req = json.loads(self._read_body() or b"{}")
+                if not req.get("audio"):
+                    self._json({"error": "missing 'audio'"}, 400)
+                    return
+                self._json(self.app.inpaint_show(req["audio"]))
+            elif self.path == "/inpaint":
+                import base64
+
+                req = json.loads(self._read_body() or b"{}")
+                if not req.get("audio") or not req.get("mask"):
+                    self._json({"error": "missing 'audio' or 'mask'"}, 400)
+                    return
+                mask_b64 = req["mask"].split(",", 1)[-1]  # allow data: URL
+                self._json(self.app.inpaint(
+                    req["audio"], base64.b64decode(mask_b64),
+                    text=req.get("text", ""),
+                    ddim_steps=int(req.get("ddim_steps", 100))))
             elif self.path == "/clear":
                 self.app.clear()
                 self._json({"status": "cleared"})

@@ -355,3 +355,86 @@ def test_microbatch_coalesces_across_sessions(tmp_path):
         for httpd, _ in servers:
             httpd.shutdown()
         proxy.batcher.close()
+
+
+def test_sketch_mask_inpaint_roundtrip(tmp_path):
+    """The reference's drawn-mask inpaint loop (audio-chatgpt.py:418-540,
+    1351-1374) over HTTP: upload clip → /inpaint/show returns a drawable mel
+    PNG → POST /inpaint with a sketch PNG (alpha = regenerate) → artifact."""
+    import base64
+    import io
+    import os
+
+    from PIL import Image
+
+    from audiogpt_tpu.engines.t2a import T2AConfig, T2AEngine
+    from audiogpt_tpu.models.diffusion import UNetConfig, VAEConfig
+    from audiogpt_tpu.models.textenc import BertConfig, CLAPTextConfig
+
+    cfg = T2AConfig(
+        unet=UNetConfig(in_channels=4, out_channels=4, model_channels=32,
+                        num_res_blocks=1, channel_mult=(1, 2), num_heads=4,
+                        context_dim=32, use_checkpoint=False),
+        vae=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                      attn_resolutions=(), z_channels=4, embed_dim=4,
+                      resolution=64),
+        clap=CLAPTextConfig(
+            bert=BertConfig(vocab_size=2000, hidden_size=32, num_layers=1,
+                            num_heads=2, intermediate_size=64,
+                            max_position=80),
+            d_proj=32, max_length=16),
+        mel_bins=16, mel_len=32, inpaint_mel_len=32, timesteps=100)
+    root = str(tmp_path)
+    app = AppServer(ScriptedLLM(["Thought: Do I need to use a tool? No\n"
+                                 "AI: ok."]),
+                    {"t2a": T2AEngine(cfg)}, media_root=root)
+    httpd = make_server(app, port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        os.makedirs(f"{root}/audio", exist_ok=True)
+        sr = cfg.sample_rate
+        t = np.arange(cfg.inpaint_mel_len * cfg.hop) / sr
+        save_wav((0.2 * np.sin(2 * np.pi * 440 * t)).astype(np.float32),
+                 f"{root}/audio/clip.wav", sr)
+
+        code, body, _ = _req(port, "/inpaint/show",
+                             json.dumps({"audio": "audio/clip.wav"}).encode(),
+                             {"Content-Type": "application/json"})
+        assert code == 200, body
+        meta = json.loads(body)
+        assert meta["mel_bins"] == cfg.mel_bins
+        assert meta["frames"] == cfg.inpaint_mel_len  # actual rendered width
+        code, png, hdrs = _req(port, meta["image"])
+        assert code == 200 and hdrs["Content-Type"] == "image/png"
+        img = Image.open(io.BytesIO(png))
+        assert img.size == (cfg.inpaint_mel_len, cfg.mel_bins)  # (W, H)
+
+        # draw a white box on a transparent canvas — the UI overlay shape
+        mask_img = Image.new("RGBA", img.size, (0, 0, 0, 0))
+        for x in range(8, 16):
+            for y in range(4, 12):
+                mask_img.putpixel((x, y), (255, 255, 255, 255))
+        buf = io.BytesIO()
+        mask_img.save(buf, format="PNG")
+        data_url = "data:image/png;base64," + \
+            base64.b64encode(buf.getvalue()).decode()
+        code, body, _ = _req(
+            port, "/inpaint",
+            json.dumps({"audio": "audio/clip.wav", "mask": data_url,
+                        "text": "birds chirping", "ddim_steps": 3}).encode(),
+            {"Content-Type": "application/json"})
+        assert code == 200, body
+        out = json.loads(body)
+        # no vocoder attached to the tiny engine → mel image artifact
+        url = out.get("audio") or out.get("image")
+        assert url, out
+        code, artifact, _ = _req(port, url)
+        assert code == 200 and len(artifact) > 100
+
+        # error paths
+        code, body, _ = _req(port, "/inpaint", b"{}",
+                             {"Content-Type": "application/json"})
+        assert code == 400
+    finally:
+        httpd.shutdown()
