@@ -33,19 +33,35 @@ def _host_sync(x):
 def bench_vocoder_rtf(frames: int = 1024, iters: int = 20, batch: int = 1):
     import jax
     from audiogpt_tpu.engines.vocoder import VocoderEngine
+    from audiogpt_tpu.utils import flops as F
+
+    import jax.numpy as jnp
 
     eng = VocoderEngine("hifigan", buckets=(frames,))
-    mel = np.random.RandomState(0).randn(batch, frames, 80).astype(np.float32)
-    # compile + warmup
-    eng(mel)
-    eng(mel)
+    mel = jnp.asarray(np.random.RandomState(0).randn(batch, frames, 80)
+                      .astype(np.float32))
+    # AOT-compile ONCE and reuse the same executable for cost analysis and
+    # the timing loop (a second traced-path compile costs minutes when the
+    # tunnel compile service degrades)
+    compiled = eng._fn.lower(eng.params, mel).compile()
+    fl = None
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        fl = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    fl = fl or F.hifigan_flops(eng.cfg, frames, batch)
+    _host_sync(compiled(eng.params, mel))  # warmup to completion
+    _host_sync(compiled(eng.params, mel))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = eng(mel)
+        out = compiled(eng.params, mel)
         _host_sync(out)  # axon: block_until_ready alone does NOT wait
     dt = (time.perf_counter() - t0) / iters
     audio_sec = batch * frames * eng.hop_size / eng.cfg.sample_rate
-    return dt / audio_sec, audio_sec, dt
+    return dt / audio_sec, audio_sec, dt, F.mfu(fl, dt)
 
 
 def bench_flash_attention(t: int = 3000, heads: int = 8, dim: int = 64,
@@ -77,17 +93,29 @@ def bench_asr_encoder(iters: int = 5):
     import jax.numpy as jnp
     from audiogpt_tpu.models.asr.whisper import WhisperConfig, WhisperModel
 
+    from audiogpt_tpu.utils import flops as F
+
     cfg = WhisperConfig()
     model = WhisperModel(cfg)
     mel = jnp.zeros((1, 2 * cfg.n_audio_ctx, cfg.n_mels))
     params = model.init(jax.random.PRNGKey(0), mel, jnp.zeros((1, 4), jnp.int32))
     enc = jax.jit(lambda p, m: model.apply(p, m, method=WhisperModel.encode))
-    _host_sync(enc(params, mel))
+    # single AOT compile, reused for cost analysis + the timing loop
+    compiled = enc.lower(params, mel).compile()
+    fl = None
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        fl = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    _host_sync(compiled(params, mel))
     t0 = time.perf_counter()
     for _ in range(iters):
-        _host_sync(enc(params, mel))
+        _host_sync(compiled(params, mel))
     dt = (time.perf_counter() - t0) / iters
-    return 30.0 / dt  # RTFx: 30 s of audio per encoder pass
+    return 30.0 / dt, F.mfu(fl, dt)
 
 
 def bench_asr_decode(iters: int = 3, max_tokens: int = 32):
@@ -109,20 +137,58 @@ def bench_asr_decode(iters: int = 3, max_tokens: int = 32):
     return 30.0 / dt
 
 
-def bench_diffusion_steps(iters: int = 3, steps: int = 25, bf16: bool = False):
-    """T2A UNet sampler steps/sec at the production latent shape."""
+def bench_diffusion_steps(iters: int = 3, steps: int = 25, bf16: bool = False,
+                          n_samples: int = 1):
+    """T2A UNet sampler evals/sec (+MFU) at the production latent shape.
+    ``n_samples`` is the candidate batch (reference runs 3,
+    audio-chatgpt.py:163)."""
     import jax
+    import jax.numpy as jnp
     from audiogpt_tpu.engines.t2a import T2AConfig, T2AEngine
+    from audiogpt_tpu.utils import flops as F
 
     eng = T2AEngine(T2AConfig(unet_bf16=bf16))
-    eng.txt2audio("warmup", n_samples=1, ddim_steps=steps, seed=0)  # compile
+    eng.txt2audio("warmup", n_samples=n_samples, ddim_steps=steps, seed=0)
     t0 = time.perf_counter()
     for i in range(iters):
-        out = eng.txt2audio("benchmark", n_samples=1, ddim_steps=steps,
-                            seed=i)
+        out = eng.txt2audio("benchmark", n_samples=n_samples,
+                            ddim_steps=steps, seed=i)
         _host_sync(out)
     dt = (time.perf_counter() - t0) / iters
-    return steps * 2 / dt  # CFG pair counts as 2 UNet evals per step
+    evals_per_s = steps * 2 * n_samples / dt  # CFG pair = 2 evals per step
+
+    # MFU from one CFG-batched UNet eval (cond+uncond fused: batch 2n)
+    h, w = eng.cfg.latent_hw
+    b = 2 * n_samples
+    x = jnp.zeros((b, h, w, eng.cfg.unet.in_channels))
+    t_arr = jnp.zeros((b,), jnp.int32)
+    ctx = jnp.zeros((b, 1, eng.cfg.unet.context_dim))
+    ufn = jax.jit(lambda p, x, t, c: eng.unet.apply(p, x, t, c))
+    fl = F.xla_flops(ufn, eng.params["unet"], x, t_arr, ctx)
+    mfu = F.mfu(fl * steps, dt) if fl else None  # whole-call flops / wall
+    return evals_per_s, mfu
+
+
+def bench_t2a_e2e(steps: int = 100, n_samples: int = 3, iters: int = 2,
+                  sampler: str = "ddim"):
+    """Full T2A tool call at the REFERENCE's own config (DDIM-100 × 3
+    candidates + BigVGAN vocoding, audio-chatgpt.py:158-199; the user gets
+    one best 10 s clip). Returns (rtf_vs_10s_output, wall_s)."""
+    from audiogpt_tpu.engines.t2a import T2AConfig, T2AEngine
+    from audiogpt_tpu.engines.vocoder import VocoderEngine
+
+    eng = T2AEngine(T2AConfig(),
+                    vocoder=VocoderEngine("bigvgan", buckets=(624,)))
+    eng.txt2audio("warmup", n_samples=n_samples, ddim_steps=steps, seed=0,
+                  sampler=sampler)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        mels, wavs = eng.txt2audio("benchmark", n_samples=n_samples,
+                                   ddim_steps=steps, seed=i, sampler=sampler)
+        _host_sync(wavs)
+    dt = (time.perf_counter() - t0) / iters
+    audio_out = eng.cfg.mel_len * eng.cfg.hop / eng.cfg.sample_rate  # ≈10 s
+    return dt / audio_out, dt
 
 
 def bench_tts_rtf(iters: int = 10):
@@ -331,23 +397,34 @@ def main():
                       "value": round(tn / tf, 3), "unit": "x",
                       "vs_baseline": round(tn / tf, 3)})
     if args.suite in ("all", "asr"):
-        rtfx = bench_asr_encoder()
+        rtfx, enc_mfu = bench_asr_encoder()
         extra.append({"metric": "whisper_encoder_rtfx",
                       "value": round(rtfx, 2), "unit": "audio_sec_per_sec",
-                      "vs_baseline": round(rtfx / 100.0, 3)})
+                      "vs_baseline": round(rtfx / 100.0, 3),
+                      **({"mfu": round(enc_mfu, 4)} if enc_mfu else {})})
         rtfx_d = bench_asr_decode()
         extra.append({"metric": "whisper_e2e_rtfx_32tok",
                       "value": round(rtfx_d, 2), "unit": "audio_sec_per_sec",
                       "vs_baseline": round(rtfx_d / 10.0, 3)})
     if args.suite in ("all", "diffusion"):
-        sps = bench_diffusion_steps()
+        sps, u_mfu = bench_diffusion_steps()
         extra.append({"metric": "t2a_unet_evals_per_sec",
                       "value": round(sps, 2), "unit": "evals_per_sec",
-                      "vs_baseline": round(sps / 20.0, 3)})
-        sps16 = bench_diffusion_steps(bf16=True)
+                      "vs_baseline": round(sps / 20.0, 3),
+                      **({"mfu": round(u_mfu, 4)} if u_mfu else {})})
+        sps16, _ = bench_diffusion_steps(bf16=True)
         extra.append({"metric": "t2a_unet_evals_per_sec_bf16",
                       "value": round(sps16, 2), "unit": "evals_per_sec",
                       "vs_baseline": round(sps16 / 20.0, 3)})
+        # the reference's OWN T2A config: DDIM-100 x 3 candidates + vocoder
+        rtf_ref, wall = bench_t2a_e2e(steps=100, n_samples=3)
+        extra.append({"metric": "t2a_e2e_rtf_ddim100_x3",
+                      "value": round(rtf_ref, 4), "unit": "rtf",
+                      "vs_baseline": round(0.05 / rtf_ref, 3)})
+        rtf_plms, _ = bench_t2a_e2e(steps=25, n_samples=3, sampler="plms")
+        extra.append({"metric": "t2a_e2e_rtf_plms25_x3",
+                      "value": round(rtf_plms, 4), "unit": "rtf",
+                      "vs_baseline": round(0.05 / rtf_plms, 3)})
     if args.suite in ("all", "tts"):
         for name, (dt, audio) in bench_tts_rtf().items():
             extra.append({"metric": f"tts_{name}_wall_s",
@@ -387,9 +464,19 @@ def main():
     for line in extra:
         print(json.dumps(line))
     if args.suite in ("headline", "all") or not extra:
-        rtf, audio_sec, dt = bench_vocoder_rtf(args.frames, args.iters,
-                                               args.batch)
         target = 0.05
+        # batch-8 throughput mode first: load-robust second metric (pins the
+        # round-over-round comparison against shared-tunnel variance)
+        rtf8, _, _, mfu8 = bench_vocoder_rtf(args.frames, max(args.iters, 8),
+                                             batch=8)
+        print(json.dumps({
+            "metric": "hifigan_vocoder_rtf_batch8_per_stream",
+            "value": round(rtf8, 6), "unit": "wall_sec_per_audio_sec",
+            "vs_baseline": round(target / rtf8, 3),
+            **({"mfu": round(mfu8, 4)} if mfu8 else {}),
+        }))
+        rtf, audio_sec, dt, mfu1 = bench_vocoder_rtf(args.frames, args.iters,
+                                                     args.batch)
         print(
             json.dumps(
                 {
@@ -397,6 +484,7 @@ def main():
                     "value": round(rtf, 6),
                     "unit": "wall_sec_per_audio_sec",
                     "vs_baseline": round(target / rtf, 3),
+                    **({"mfu": round(mfu1, 4)} if mfu1 else {}),
                 }
             )
         )
