@@ -68,6 +68,7 @@ def convert(family: str, sd: Mapping[str, np.ndarray], cfg: Any) -> dict:
         "clip_text_tower": ti.convert_clip_text_tower,
         "diffsinger": ti.convert_diffsinger,
         "htsat": ti.convert_htsat,
+        "t5": ti.convert_t5,
     }
     if family not in table:
         raise KeyError(f"unknown family {family!r}; have {sorted(table)}")
@@ -108,6 +109,10 @@ def default_config(family: str) -> Any:
         from audiogpt_tpu.models.svs.diffsinger import DiffNetConfig
 
         return DiffNetConfig()
+    if family == "t5":
+        from audiogpt_tpu.models.textenc.t5 import T5Config
+
+        return T5Config()
     if family == "cnn14":
         from audiogpt_tpu.models.caption.cnn14 import Cnn14Config
 

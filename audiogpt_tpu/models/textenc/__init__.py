@@ -4,3 +4,8 @@ from audiogpt_tpu.models.textenc.clap import (  # noqa: F401
     CLAPTextEncoder,
     Projection,
 )
+from audiogpt_tpu.models.textenc.t5 import (  # noqa: F401
+    T5Conditioner,
+    T5Config,
+    T5Encoder,
+)

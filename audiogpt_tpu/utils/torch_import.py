@@ -959,3 +959,45 @@ def convert_htsat(sd: Mapping[str, np.ndarray], cfg) -> dict:
         params["projection"] = {"fc1": _dense(sd, "audio_projection.0"),
                                 "fc2": _dense(sd, "audio_projection.2")}
     return {"params": params}
+
+
+def convert_t5(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """HF ``T5EncoderModel`` state dict (t5-v1_1-* / flan-t5-*) →
+    :class:`~audiogpt_tpu.models.textenc.t5.T5Encoder` params
+    (``FrozenT5Embedder``/``FrozenFLANEmbedder`` towers,
+    ``ldm/modules/encoders/modules.py:143,287``). All T5 Linears are
+    bias-free; layer norms are RMS (weight only)."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    emb_key = "shared.weight" if "shared.weight" in sd else \
+        "encoder.embed_tokens.weight"
+    p: dict = {"embed": {"embedding": sd[emb_key].astype(np.float32)},
+               "final_ln": {"weight":
+                            sd["encoder.final_layer_norm.weight"
+                               ].astype(np.float32)}}
+    for i in range(cfg.num_layers):
+        b = f"encoder.block.{i}.layer"
+        attn = {
+            "q": _dense(sd, f"{b}.0.SelfAttention.q"),
+            "k": _dense(sd, f"{b}.0.SelfAttention.k"),
+            "v": _dense(sd, f"{b}.0.SelfAttention.v"),
+            "o": _dense(sd, f"{b}.0.SelfAttention.o"),
+        }
+        if i == 0:
+            attn["rel_bias"] = sd[
+                f"{b}.0.SelfAttention.relative_attention_bias.weight"
+            ].astype(np.float32)
+        layer = {
+            "attn": attn,
+            "attn_ln": {"weight": sd[f"{b}.0.layer_norm.weight"
+                                     ].astype(np.float32)},
+            "ff_ln": {"weight": sd[f"{b}.1.layer_norm.weight"
+                                   ].astype(np.float32)},
+            "wo": _dense(sd, f"{b}.1.DenseReluDense.wo"),
+        }
+        if cfg.feed_forward == "gated-gelu":
+            layer["wi_0"] = _dense(sd, f"{b}.1.DenseReluDense.wi_0")
+            layer["wi_1"] = _dense(sd, f"{b}.1.DenseReluDense.wi_1")
+        else:
+            layer["wi"] = _dense(sd, f"{b}.1.DenseReluDense.wi")
+        p[f"block_{i}"] = layer
+    return {"params": p}

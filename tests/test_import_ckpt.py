@@ -879,3 +879,53 @@ def test_clip_vision_full_ckpt_ignores_text_tower(tmp_path):
     z = CLIPVisionEncoder(cfg).apply(jax.tree.map(jnp.asarray, variables),
                                      img)
     assert z.shape == (1, 12) and bool(jnp.isfinite(z).all())
+
+
+@pytest.mark.parametrize("ff,hf_act", [("gated-gelu", "gated-gelu"),
+                                       ("relu", "relu")])
+def test_t5_encoder_parity(ff, hf_act):
+    """T5/FLAN conditioner tower (FrozenT5Embedder/FrozenFLANEmbedder,
+    ldm/modules/encoders/modules.py:143,287): HF T5EncoderModel weights →
+    convert('t5') → T5Encoder matches last_hidden_state on valid tokens."""
+    from transformers import T5Config as HFT5Config
+    from transformers import T5EncoderModel
+
+    from audiogpt_tpu.import_ckpt import convert
+    from audiogpt_tpu.models.textenc.t5 import T5Config, T5Encoder
+
+    hf_cfg = HFT5Config(vocab_size=100, d_model=32, d_kv=16, d_ff=48,
+                        num_layers=2, num_heads=2,
+                        relative_attention_num_buckets=8,
+                        relative_attention_max_distance=20,
+                        feed_forward_proj=hf_act, dropout_rate=0.0,
+                        is_encoder_decoder=False, use_cache=False)
+    torch.manual_seed(0)
+    ref = T5EncoderModel(hf_cfg).eval()
+    cfg = T5Config(vocab_size=100, d_model=32, d_kv=16, d_ff=48,
+                   num_layers=2, num_heads=2, rel_buckets=8,
+                   rel_max_distance=20, feed_forward=ff)
+    params = convert("t5", {k: v.numpy() for k, v in
+                            ref.state_dict().items()}, cfg)
+    ids = np.array([[5, 17, 42, 3, 1, 0, 0, 0],
+                    [9, 9, 2, 1, 0, 0, 0, 0]], np.int64)
+    mask = (ids != 0).astype(np.int64)
+    with torch.no_grad():
+        want = ref(input_ids=torch.tensor(ids),
+                   attention_mask=torch.tensor(mask)
+                   ).last_hidden_state.numpy()
+    got = np.asarray(T5Encoder(cfg).apply(params, ids, mask))
+    assert np.abs(got - want)[mask.astype(bool)].max() < 2e-4
+
+
+def test_t5_conditioner_encode():
+    """T5Conditioner pads/EOS-terminates via a pluggable tokenizer and
+    returns [B, max_length, d_model] context."""
+    from audiogpt_tpu.models.textenc.t5 import T5Conditioner, T5Config
+
+    cond = T5Conditioner(
+        T5Config(vocab_size=64, d_model=16, d_kv=8, d_ff=32, num_layers=1,
+                 num_heads=2, rel_buckets=8, rel_max_distance=20),
+        tokenizer=lambda t: [ord(c) % 60 + 2 for c in t][:10], max_length=12)
+    z = cond.encode(["a dog", "rain on a tin roof"])
+    assert z.shape == (2, 12, 16)
+    assert np.isfinite(np.asarray(z)).all()
