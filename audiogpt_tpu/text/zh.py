@@ -228,6 +228,183 @@ def split_pinyin(syllable: str) -> list[str]:
 
 _BUNDLED_TSV = os.path.join(os.path.dirname(__file__), "zh_lexicon.tsv")
 
+# Phrase-level readings for common polyphone-bearing words (the behavior
+# pypinyin's phrase dict gives the reference; applied longest-match-first
+# before per-char lookup). "word": "syl1 syl2 ...".
+_PHRASES = {
+    # 乐 le4/yue4
+    "音乐": "yin1 yue4", "乐器": "yue4 qi4", "乐队": "yue4 dui4",
+    "乐曲": "yue4 qu3", "声乐": "sheng1 yue4", "器乐": "qi4 yue4",
+    "快乐": "kuai4 le4", "欢乐": "huan1 le4", "可乐": "ke3 le4",
+    "娱乐": "yu2 le4", "乐趣": "le4 qu4", "乐观": "le4 guan1",
+    # 行 xing2/hang2
+    "银行": "yin2 hang2", "行业": "hang2 ye4", "行列": "hang2 lie4",
+    "同行": "tong2 hang2", "外行": "wai4 hang2", "内行": "nei4 hang2",
+    # 长 chang2/zhang3
+    "长大": "zhang3 da4", "成长": "cheng2 zhang3", "增长": "zeng1 zhang3",
+    "长辈": "zhang3 bei4", "校长": "xiao4 zhang3", "家长": "jia1 zhang3",
+    "队长": "dui4 zhang3", "部长": "bu4 zhang3", "市长": "shi4 zhang3",
+    "生长": "sheng1 zhang3", "长老": "zhang3 lao3",
+    # 重 zhong4/chong2
+    "重复": "chong2 fu4", "重新": "chong2 xin1", "重庆": "chong2 qing4",
+    "重叠": "chong2 die2",
+    # 得 de2/de5
+    "觉得": "jue2 de5", "记得": "ji4 de5", "显得": "xian3 de5",
+    "值得": "zhi2 de5", "懂得": "dong3 de5", "舍不得": "she3 bu5 de5",
+    # 了 le5/liao3
+    "了解": "liao3 jie3", "了不起": "liao3 bu5 qi3",
+    # 还 hai2/huan2
+    "归还": "gui1 huan2", "还原": "huan2 yuan2", "还款": "huan2 kuan3",
+    # 为 wei4/wei2
+    "成为": "cheng2 wei2", "作为": "zuo4 wei2", "认为": "ren4 wei2",
+    "以为": "yi3 wei2", "行为": "xing2 wei2", "为难": "wei2 nan2",
+    # 发 fa1/fa4
+    "头发": "tou2 fa4", "理发": "li3 fa4",
+    # 干 gan1/gan4
+    "干部": "gan4 bu4", "能干": "neng2 gan4", "干活": "gan4 huo2",
+    "干劲": "gan4 jin4",
+    # 教 jiao4/jiao1
+    "教书": "jiao1 shu1", "教给": "jiao1 gei3",
+    # 相 xiang1/xiang4
+    "照相": "zhao4 xiang4", "相机": "xiang4 ji1", "相貌": "xiang4 mao4",
+    # 都 dou1/du1
+    "都市": "du1 shi4", "首都": "shou3 du1", "都城": "du1 cheng2",
+    # 便 bian4/pian2
+    "便宜": "pian2 yi2",
+    # 调 tiao2/diao4
+    "调查": "diao4 cha2", "声调": "sheng1 diao4", "调动": "diao4 dong4",
+    # 传 chuan2/zhuan4
+    "传记": "zhuan4 ji4", "自传": "zi4 zhuan4",
+    # 处 chu4/chu3
+    "处理": "chu3 li3", "处于": "chu3 yu2", "处罚": "chu3 fa2",
+    "相处": "xiang1 chu3", "处境": "chu3 jing4",
+    # 差 cha4/cha1/chai1
+    "出差": "chu1 chai1", "差别": "cha1 bie2", "差距": "cha1 ju4",
+    "差异": "cha1 yi4",
+    # 觉 jue2/jiao4
+    "睡觉": "shui4 jiao4", "午觉": "wu3 jiao4",
+    # 降 jiang4/xiang2
+    "投降": "tou2 xiang2",
+    # 尽 jin4/jin3
+    "尽量": "jin3 liang4", "尽管": "jin3 guan3",
+    # 卷 juan3/juan4
+    "试卷": "shi4 juan4", "考卷": "kao3 juan4",
+    # 空 kong1/kong4
+    "有空": "you3 kong4", "填空": "tian2 kong4", "空闲": "kong4 xian2",
+    # 难 nan2/nan4
+    "灾难": "zai1 nan4", "难民": "nan4 min2", "遇难": "yu4 nan4",
+    # 宁 ning2/ning4
+    "宁可": "ning4 ke3", "宁愿": "ning4 yuan4",
+    # 强 qiang2/qiang3
+    "强迫": "qiang3 po4", "勉强": "mian3 qiang3",
+    # 曲 qu3/qu1
+    "弯曲": "wan1 qu1", "曲线": "qu1 xian4", "曲折": "qu1 zhe2",
+    # 散 san4/san3
+    "散文": "san3 wen2", "散漫": "san3 man4",
+    # 省 sheng3/xing3
+    "反省": "fan3 xing3",
+    # 似 si4/shi4
+    "似的": "shi4 de5",
+    # 提 ti2/di1
+    "提防": "di1 fang2",
+    # 挑 tiao1/tiao3
+    "挑战": "tiao3 zhan4", "挑衅": "tiao3 xin4",
+    # 吐 tu3/tu4
+    "呕吐": "ou3 tu4",
+    # 兴 xing4/xing1
+    "兴奋": "xing1 fen4", "兴起": "xing1 qi3", "兴旺": "xing1 wang4",
+    # 要 yao4/yao1
+    "要求": "yao1 qiu2",
+    # 应 ying1/ying4
+    "答应": "da1 ying4", "应用": "ying4 yong4", "反应": "fan3 ying4",
+    "适应": "shi4 ying4", "应付": "ying4 fu4",
+    # 载 zai4/zai3
+    "记载": "ji4 zai3",
+    # 正 zheng4/zheng1
+    "正月": "zheng1 yue4",
+    # 中 zhong1/zhong4
+    "中奖": "zhong4 jiang3", "打中": "da3 zhong4", "中毒": "zhong4 du2",
+    # 种 zhong3/zhong4
+    "种植": "zhong4 zhi2", "种地": "zhong4 di4", "种树": "zhong4 shu4",
+    # 钻 zuan1/zuan4
+    "钻石": "zuan4 shi2",
+    # 背 bei4/bei1
+    "背包": "bei1 bao1", "背负": "bei1 fu4",
+    # 藏 cang2/zang4
+    "西藏": "xi1 zang4", "宝藏": "bao3 zang4",
+    # 弹 tan2/dan4
+    "子弹": "zi3 dan4", "炸弹": "zha4 dan4", "导弹": "dao3 dan4",
+    # 当 dang1/dang4
+    "上当": "shang4 dang4", "适当": "shi4 dang4", "当作": "dang4 zuo4",
+    # 倒 dao3/dao4
+    "倒是": "dao4 shi4", "倒影": "dao4 ying3", "倒退": "dao4 tui4",
+    # 斗 dou4/dou3
+    "北斗": "bei3 dou3", "斗篷": "dou3 peng5",
+    # 分 fen1/fen4
+    "部分": "bu4 fen4", "成分": "cheng2 fen4", "分量": "fen4 liang4",
+    "充分": "chong1 fen4",
+    # 更 geng4/geng1
+    "更新": "geng1 xin1", "更换": "geng1 huan4", "更正": "geng1 zheng4",
+    # 会 hui4/kuai4
+    "会计": "kuai4 ji4",
+    # 假 jia3/jia4
+    "假期": "jia4 qi1", "放假": "fang4 jia4", "请假": "qing3 jia4",
+    "暑假": "shu3 jia4", "寒假": "han2 jia4", "度假": "du4 jia4",
+    # 间 jian1/jian4
+    "间接": "jian4 jie1", "间隔": "jian4 ge2", "间谍": "jian4 die2",
+    # 将 jiang1/jiang4
+    "麻将": "ma2 jiang4", "大将": "da4 jiang4",
+    # 看 kan4/kan1
+    "看守": "kan1 shou3", "看护": "kan1 hu4",
+    # 累 lei4/lei3
+    "积累": "ji1 lei3", "累计": "lei3 ji4",
+    # 漂 piao4/piao1
+    "漂浮": "piao1 fu2", "漂流": "piao1 liu2",
+    # 切 qie1/qie4
+    "一切": "yi1 qie4", "密切": "mi4 qie4", "亲切": "qin1 qie4",
+    # 塞 sai1/se4/sai4
+    "堵塞": "du3 se4", "要塞": "yao4 sai4",
+    # 挣 zheng4/zheng1
+    "挣扎": "zheng1 zha2",
+    # 仔 zai3/zi3
+    "仔细": "zi3 xi4",
+    # 角 jiao3/jue2
+    "角色": "jue2 se4", "主角": "zhu3 jue2", "配角": "pei4 jue2",
+    # 壳 ke2/qiao4
+    "地壳": "di4 qiao4",
+    # 模 mo2/mu2
+    "模样": "mu2 yang4", "模具": "mu2 ju4",
+    # 铺 pu1/pu4
+    "店铺": "dian4 pu4", "床铺": "chuang2 pu4", "铺位": "pu4 wei4",
+    # 率 lv4/shuai4
+    "率领": "shuai4 ling3", "率先": "shuai4 xian1",
+    # 咽 yan4/yan1
+    "咽喉": "yan1 hou2",
+    # 晕 yun1/yun4
+    "晕车": "yun4 che1", "晕船": "yun4 chuan2",
+    # 只 zhi3/zhi1
+    "一只": "yi1 zhi1", "两只": "liang3 zhi1", "几只": "ji3 zhi1",
+}
+_MAX_PHRASE = max(len(k) for k in _PHRASES)
+
+
+def phrase_assignments(text: str) -> dict[int, str]:
+    """Greedy longest-match scan: char index → phrase-assigned syllable for
+    every position covered by a ``_PHRASES`` entry."""
+    out: dict[int, str] = {}
+    i, n = 0, len(text)
+    while i < n:
+        for ln in range(min(_MAX_PHRASE, n - i), 1, -1):
+            word = text[i: i + ln]
+            if word in _PHRASES:
+                for j, syl in enumerate(_PHRASES[word].split()):
+                    out[i + j] = syl
+                i += ln
+                break
+        else:
+            i += 1
+    return out
+
 
 class PinyinLexicon:
     """hanzi → 'syllable+tone'. Load order (later wins): bundled CLDR-derived
@@ -283,17 +460,17 @@ class ZhFrontend:
 
     def __call__(self, text: str) -> list[str]:
         text = normalize_zh(text)
+        phrase = phrase_assignments(text)
         phones: list[str] = []
-        pending_sep = False
 
         def sep():
-            nonlocal pending_sep
             if phones and phones[-1] != "|":
                 phones.append("|")
-            pending_sep = False
 
-        # pre-split latin pinyin runs
-        for token in re.findall(r"[a-zA-Z]+\d?|.", text):
+        # pre-split latin pinyin runs; finditer keeps positions for the
+        # phrase-level polyphone assignments
+        for m in re.finditer(r"[a-zA-Z]+\d?|.", text):
+            token = m.group(0)
             if re.fullmatch(r"[a-zA-Z]+\d?", token):
                 phones.extend(split_pinyin(token))
                 sep()
@@ -305,7 +482,7 @@ class ZhFrontend:
             elif token.strip() == "":
                 sep()
             else:
-                py = self.lexicon(token)
+                py = phrase.get(m.start()) or self.lexicon(token)
                 phones.extend(self._oov(token) if py is None
                               else split_pinyin(py))
                 sep()
@@ -332,9 +509,11 @@ class ZhTTSFrontend(ZhFrontend):
         from audiogpt_tpu.text.frontend import ProcessedText
 
         norm = normalize_zh(text)
+        phrase = phrase_assignments(norm)
         words: list[str] = []
         word_phs: list[list[str]] = []
-        for token in re.findall(r"[a-zA-Z]+\d?|.", norm):
+        for m in re.finditer(r"[a-zA-Z]+\d?|.", norm):
+            token = m.group(0)
             if re.fullmatch(r"[a-zA-Z]+\d?", token):
                 words.append(token)
                 word_phs.append(split_pinyin(token))
@@ -347,7 +526,7 @@ class ZhTTSFrontend(ZhFrontend):
             elif token.strip() == "":
                 continue
             else:
-                py = self.lexicon(token)
+                py = phrase.get(m.start()) or self.lexicon(token)
                 phs = split_pinyin(py) if py else self._oov(token)
                 if not phs:          # oov='skip'
                     continue

@@ -145,3 +145,29 @@ def test_zh_tts_frontend_binarizes(tmp_path):
     rec = load_split(str(tmp_path), "train")[0]
     assert len(rec["tokens"]) == len(rec["ph2word"])
     assert "word_tokens" in rec
+
+
+class TestPhrases:
+    def test_polyphone_phrases(self):
+        """Phrase dict resolves common polyphones the per-char default
+        misreads (pypinyin-phrase behavior, txt_processors/zh.py:31)."""
+        fe = ZhFrontend()
+        assert fe("音乐") == ["y", "in1", "|", "y", "ue4"]
+        assert fe("快乐") == ["k", "uai4", "|", "l", "e4"]
+        assert fe("银行") == ["y", "in2", "|", "h", "ang2"]
+        assert fe("长大") == ["zh", "ang3", "|", "d", "a4"]
+        # default still wins outside phrases
+        assert fe("行走")[:2] == ["x", "ing2"]
+        assert fe("很长")[-2:] == ["ch", "ang2"]
+
+    def test_phrase_longest_match(self):
+        from audiogpt_tpu.text.zh import phrase_assignments
+
+        a = phrase_assignments("舍不得")
+        assert [a[i] for i in range(3)] == ["she3", "bu5", "de5"]
+
+    def test_phrases_in_tts_frontend(self):
+        from audiogpt_tpu.text.zh import ZhTTSFrontend
+
+        pt = ZhTTSFrontend()("我爱音乐")
+        assert "ue4" in pt.phones and "yue" not in pt.words

@@ -1226,7 +1226,7 @@ _OVERRIDES = """
 模 mo2
 泡 pao4
 喷 pen1
-铺 pu4
+铺 pu1
 圈 quan1
 塞 sai1
 丧 sang4
