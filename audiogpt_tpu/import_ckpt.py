@@ -69,6 +69,7 @@ def convert(family: str, sd: Mapping[str, np.ndarray], cfg: Any) -> dict:
         "diffsinger": ti.convert_diffsinger,
         "htsat": ti.convert_htsat,
         "t5": ti.convert_t5,
+        "clip_text_hf": ti.convert_clip_text_hf,
     }
     if family not in table:
         raise KeyError(f"unknown family {family!r}; have {sorted(table)}")

@@ -110,8 +110,12 @@ class CLIPTextTower(nn.Module):
     cfg: CLIPTextConfig = CLIPTextConfig()
 
     @nn.compact
-    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
-        """tokens [B, L] (EOT = max id in row) → L2-normalized [B, embed_dim]."""
+    def __call__(self, tokens: jnp.ndarray,
+                 return_sequence: bool = False) -> jnp.ndarray:
+        """tokens [B, L] (EOT = max id in row) → L2-normalized [B, embed_dim];
+        ``return_sequence=True`` → post-ln per-token states [B, L, width]
+        (HF ``CLIPTextModel.last_hidden_state`` — StableDiffusion's
+        cross-attention context)."""
         cfg = self.cfg
         x = nn.Embed(cfg.vocab_size, cfg.width, name="token_embedding")(tokens)
         pos = self.param("positional_embedding", nn.initializers.normal(0.01),
@@ -121,6 +125,8 @@ class CLIPTextTower(nn.Module):
             x = ResidualBlock(cfg.width, cfg.heads, causal=True,
                               name=f"block{i}")(x)
         x = nn.LayerNorm(epsilon=1e-5, name="ln_final")(x)
+        if return_sequence:
+            return x
         eot = jnp.argmax(tokens, axis=-1)
         x = x[jnp.arange(x.shape[0]), eot]
         proj = self.param("text_projection",

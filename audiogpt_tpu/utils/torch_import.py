@@ -1001,3 +1001,44 @@ def convert_t5(sd: Mapping[str, np.ndarray], cfg) -> dict:
             layer["wi"] = _dense(sd, f"{b}.1.DenseReluDense.wi")
         p[f"block_{i}"] = layer
     return {"params": p}
+
+
+def convert_clip_text_hf(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """HF ``CLIPTextModel`` layout (StableDiffusion ``cond_stage_model.
+    transformer.text_model.*``) → :class:`CLIPTextTower`. Separate
+    q/k/v Linears repack into the tower's fused ``in_proj``; HF has no text
+    projection — identity is installed so the pooled path stays callable."""
+    clean = {}
+    for k, v in sd.items():
+        for pre in ("cond_stage_model.transformer.text_model.",
+                    "text_model.", "transformer.text_model."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+                break
+        clean[k] = np.asarray(v)
+    sd = clean
+    p: dict = {
+        "token_embedding": {"embedding": sd[
+            "embeddings.token_embedding.weight"].astype(np.float32)},
+        "positional_embedding": sd[
+            "embeddings.position_embedding.weight"].astype(np.float32),
+        "ln_final": _ln(sd, "final_layer_norm"),
+        "text_projection": np.eye(cfg.width, cfg.embed_dim,
+                                  dtype=np.float32),
+    }
+    for i in range(cfg.layers):
+        b = f"encoder.layers.{i}"
+        w = np.concatenate([sd[f"{b}.self_attn.{n}_proj.weight"]
+                            for n in "qkv"], axis=0)
+        bias = np.concatenate([sd[f"{b}.self_attn.{n}_proj.bias"]
+                               for n in "qkv"], axis=0)
+        p[f"block{i}"] = {
+            "ln_1": _ln(sd, f"{b}.layer_norm1"),
+            "ln_2": _ln(sd, f"{b}.layer_norm2"),
+            "in_proj": {"kernel": w.T.astype(np.float32),
+                        "bias": bias.astype(np.float32)},
+            "out_proj": _dense(sd, f"{b}.self_attn.out_proj"),
+            "mlp_fc": _dense(sd, f"{b}.mlp.fc1"),
+            "mlp_proj": _dense(sd, f"{b}.mlp.fc2"),
+        }
+    return {"params": p}

@@ -199,3 +199,52 @@ def test_t2a_plms_sampler_path():
     m = eng.txt2audio("plms check", n_samples=1, ddim_steps=5, seed=0,
                       sampler="plms")
     assert m.shape == (1, 32, 16) and np.isfinite(m).all()
+
+
+class TestT2IEngine:
+    """Native StableDiffusion-class text→image on the shared diffusion
+    stack (reference T2I shells out to hosted HF SD, audio-chatgpt.py)."""
+
+    @staticmethod
+    def _tiny():
+        from audiogpt_tpu.engines.t2i import T2IConfig, T2IEngine
+        from audiogpt_tpu.models.diffusion import UNetConfig, VAEConfig
+        from audiogpt_tpu.models.textenc.clip import CLIPTextConfig
+
+        return T2IEngine(T2IConfig(
+            unet=UNetConfig(in_channels=4, out_channels=4, model_channels=32,
+                            num_res_blocks=1, channel_mult=(1, 2),
+                            num_heads=4, context_dim=32,
+                            use_checkpoint=False),
+            vae=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                          attn_resolutions=(), in_channels=3, out_ch=3,
+                          z_channels=4, embed_dim=4, resolution=32),
+            text=CLIPTextConfig(vocab_size=49408, context_length=16,
+                                width=32, layers=1, heads=2, embed_dim=32),
+            height=32, width=32, timesteps=100))
+
+    def test_txt2img_shape_and_range(self, tmp_path):
+        eng = self._tiny()
+        img = eng.txt2img("a red fox", n_samples=2, steps=3, seed=0)
+        assert img.shape == (2, 32, 32, 3)
+        assert np.isfinite(img).all()
+        assert img.min() >= 0.0 and img.max() <= 1.0
+
+    def test_toolset_slot_saves_png(self, tmp_path):
+        from PIL import Image
+
+        eng = self._tiny()
+        eng.media_root = str(tmp_path)
+        rel = eng(
+            "a watercolor landscape")
+        full = tmp_path / rel
+        assert full.exists()
+        assert Image.open(full).size == (32, 32)
+
+    def test_registers_as_t2i_tool(self, tmp_path):
+        from audiogpt_tpu.agent.toolset import build_toolset
+
+        eng = self._tiny()
+        eng.media_root = str(tmp_path)
+        tools = build_toolset({"t2i": eng}, root=str(tmp_path), mode="text")
+        assert "Generate Image From User Input Text" in tools.names()

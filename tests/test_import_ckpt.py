@@ -929,3 +929,31 @@ def test_t5_conditioner_encode():
     z = cond.encode(["a dog", "rain on a tin roof"])
     assert z.shape == (2, 12, 16)
     assert np.isfinite(np.asarray(z)).all()
+
+
+def test_clip_text_hf_parity():
+    """SD's text conditioner (cond_stage_model.transformer = HF
+    CLIPTextModel): convert('clip_text_hf') matches last_hidden_state."""
+    from transformers import CLIPTextConfig as HFCLIPTextConfig
+    from transformers import CLIPTextModel
+
+    from audiogpt_tpu.import_ckpt import convert
+    from audiogpt_tpu.models.textenc.clip import CLIPTextConfig, CLIPTextTower
+
+    hf_cfg = HFCLIPTextConfig(vocab_size=100, hidden_size=32,
+                              intermediate_size=128, num_hidden_layers=2,
+                              num_attention_heads=2,
+                              max_position_embeddings=16,
+                              hidden_act="quick_gelu")
+    torch.manual_seed(0)
+    ref = CLIPTextModel(hf_cfg).eval()
+    cfg = CLIPTextConfig(vocab_size=100, context_length=16, width=32,
+                         layers=2, heads=2, embed_dim=32)
+    params = convert("clip_text_hf",
+                     {k: v.numpy() for k, v in ref.state_dict().items()}, cfg)
+    ids = np.array([[49 % 100, 5, 7, 99], [3, 99, 0, 0]], np.int64)
+    with torch.no_grad():
+        want = ref(input_ids=torch.tensor(ids)).last_hidden_state.numpy()
+    got = np.asarray(CLIPTextTower(cfg).apply(params, ids,
+                                              return_sequence=True))
+    assert np.abs(got - want).max() < 2e-4
