@@ -97,6 +97,13 @@ def _i2a():
     return I2AEngine(_FACTORIES["t2a"]())
 
 
+@register_engine("t2i")
+def _t2i():
+    from audiogpt_tpu.engines.t2i import T2IEngine
+
+    return T2IEngine()
+
+
 @register_engine("caption")
 def _caption():
     from audiogpt_tpu.engines.analysis import CaptionEngine

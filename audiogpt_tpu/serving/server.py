@@ -55,6 +55,11 @@ class AppServer:
         self.llm = llm
         self.engines = dict(engines)
         self.media_root = os.path.abspath(media_root)
+        for eng in self.engines.values():
+            # engines that save their own artifacts (e.g. t2i) write into
+            # the server's media root so /media/<rel> URLs resolve
+            if hasattr(eng, "media_root"):
+                eng.media_root = self.media_root
         self.max_steps = max_steps
         self._lock = threading.Lock()
         self.asr = asr

@@ -381,6 +381,19 @@ def bench_serving_microbatch(concurrency: int = 8, rounds: int = 6):
 
 
 def main():
+    # persistent compilation cache: the axon tunnel's compile service
+    # degrades for hours at a time (BASELINE.md:21); caching serialized
+    # executables on disk makes re-runs immune to it. Harmless no-op if the
+    # backend doesn't support executable serialization.
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/audiogpt_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--suite", default="headline",
                     choices=["headline", "all", "flash", "asr", "diffusion",
