@@ -77,6 +77,8 @@ class Trainer:
         self.store = CheckpointStore(self.cfg.work_dir, self.cfg.num_ckpt_keep,
                                      monitor=self.cfg.monitor)
         self._train_steps: dict[str, Any] = {}
+        self._compiled_steps: dict[Any, Any] = {}
+        self._flops_window = 0.0
         self._val_step = None
 
     # -- state ---------------------------------------------------------------
@@ -144,6 +146,34 @@ class Trainer:
         if group not in self._train_steps:
             self._train_steps[group] = self._make_train_step(group)
         return self._train_steps[group]
+
+    def _run_step(self, group: str, state, batch, rng):
+        """AOT-compile once per (group, batch bucket); the compiled
+        executable also yields XLA's exact flop count, so the metrics log
+        can report MFU against chip peak (SURVEY.md §5 — the reference has
+        wall-clock timers only). Falls back to the traced path when the
+        backend exposes no cost analysis."""
+        key = (group, tuple(sorted((k, getattr(v, "shape", ()),
+                                    str(getattr(v, "dtype", type(v))))
+                                   for k, v in batch.items())))
+        entry = self._compiled_steps.get(key)
+        if entry is None:
+            fn = self.train_step(group)
+            flops = None
+            try:
+                compiled = fn.lower(state, batch, rng).compile()
+                ca = compiled.cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0] if ca else {}
+                flops = float(ca.get("flops", 0.0)) or None
+                entry = (compiled, flops)
+            except Exception:
+                entry = (fn, None)
+            self._compiled_steps[key] = entry
+        compiled, flops = entry
+        if flops:
+            self._flops_window += flops
+        return compiled(state, batch, rng)
 
     def _make_val_step(self):
         val_fn = getattr(self.task, "val_loss_fn", None)
@@ -240,13 +270,23 @@ class Trainer:
             batch = shard_batch(batch, self.mesh)
             rng, krng = jax.random.split(rng)
             for group in self.groups:
-                state, metrics = self.train_step(group)(state, batch, krng)
+                state, metrics = self._run_step(group, state, batch, krng)
                 bank.update(jax.device_get(metrics))
             step += 1
 
             if step % cfg.log_interval == 0:
                 avgs = bank.averages()
-                avgs["steps_per_sec"] = cfg.log_interval / max(time.time() - t0, 1e-9)
+                elapsed = max(time.time() - t0, 1e-9)
+                avgs["steps_per_sec"] = cfg.log_interval / elapsed
+                if self._flops_window:
+                    from audiogpt_tpu.utils.flops import peak_flops
+
+                    peak = peak_flops()
+                    if peak is not None:
+                        n_dev = max(self.mesh.size, 1)
+                        avgs["mfu"] = (self._flops_window / elapsed /
+                                       (peak[0] * n_dev))
+                    self._flops_window = 0.0
                 self.logger.log(step, avgs, prefix="tr")
                 bank.reset()
                 t0 = time.time()

@@ -170,14 +170,14 @@ def bench_diffusion_steps(iters: int = 3, steps: int = 25, bf16: bool = False,
 
 
 def bench_t2a_e2e(steps: int = 100, n_samples: int = 3, iters: int = 2,
-                  sampler: str = "ddim"):
+                  sampler: str = "ddim", bf16: bool = False):
     """Full T2A tool call at the REFERENCE's own config (DDIM-100 × 3
     candidates + BigVGAN vocoding, audio-chatgpt.py:158-199; the user gets
     one best 10 s clip). Returns (rtf_vs_10s_output, wall_s)."""
     from audiogpt_tpu.engines.t2a import T2AConfig, T2AEngine
     from audiogpt_tpu.engines.vocoder import VocoderEngine
 
-    eng = T2AEngine(T2AConfig(),
+    eng = T2AEngine(T2AConfig(unet_bf16=bf16),
                     vocoder=VocoderEngine("bigvgan", buckets=(624,)))
     eng.txt2audio("warmup", n_samples=n_samples, ddim_steps=steps, seed=0,
                   sampler=sampler)
@@ -438,6 +438,11 @@ def main():
         extra.append({"metric": "t2a_e2e_rtf_plms25_x3",
                       "value": round(rtf_plms, 4), "unit": "rtf",
                       "vs_baseline": round(0.05 / rtf_plms, 3)})
+        # bf16 UNet: the TPU-native production configuration
+        rtf_bf16, _ = bench_t2a_e2e(steps=100, n_samples=3, bf16=True)
+        extra.append({"metric": "t2a_e2e_rtf_ddim100_x3_bf16",
+                      "value": round(rtf_bf16, 4), "unit": "rtf",
+                      "vs_baseline": round(0.05 / rtf_bf16, 3)})
     if args.suite in ("all", "tts"):
         for name, (dt, audio) in bench_tts_rtf().items():
             extra.append({"metric": f"tts_{name}_wall_s",

@@ -1,0 +1,77 @@
+"""Measure DDIM-100 vs PLMS-25 output equivalence at the production T2A
+config (VERDICT round-1 item 3: beating the reference's DDIM-100 x3 setting
+OR a measured argument that PLMS-25 is output-equivalent).
+
+Method: both samplers integrate the same probability-flow ODE over the same
+schedule; with identical weights, conditioning, and x_T, an output-equivalent
+fast sampler lands near the DDIM-100 reference trajectory. We report, over N
+seeds:
+
+  * d_sampler  = L1(mel_ddim100(seed), mel_plms25(seed))   same-seed gap
+  * d_seed     = L1(mel_ddim100(seed_i), mel_ddim100(seed_j))  cross-seed
+                 scale reference (what "different output" looks like)
+  * ratio      = mean d_sampler / mean d_seed  (≪ 1 ⇒ the 4× cheaper PLMS-25
+                 reproduces the DDIM-100 output rather than sampling a
+                 different point of the distribution)
+
+Weights are randomly initialized + perturbed (zero-init output layers make
+an untrained UNet condition-independent — CLAUDE.md); the comparison is a
+property of the SAMPLERS on a fixed eps-network, not of audio quality.
+
+Run on the TPU:  python tools/sampler_equivalence.py [n_seeds]
+Prints one JSON line for BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+
+def main(n_seeds: int = 3):
+    jax.config.update("jax_compilation_cache_dir", "/tmp/audiogpt_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiogpt_tpu.engines.t2a import T2AConfig, T2AEngine
+
+    eng = T2AEngine(T2AConfig())
+    # perturb every zero-init output layer so the eps-net responds to input
+    leaves, treedef = jax.tree.flatten(eng.params)
+    rngs = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+    leaves = [l + 0.02 * jax.random.normal(r, l.shape, l.dtype)
+              if l.dtype == jnp.float32 else l
+              for l, r in zip(leaves, rngs)]
+    eng.params = jax.tree.unflatten(treedef, leaves)
+
+    mels_d, mels_p = [], []
+    for s in range(n_seeds):
+        mels_d.append(np.asarray(
+            eng.txt2audio("a dog barking", n_samples=1, ddim_steps=100,
+                          seed=s, sampler="ddim")))
+        mels_p.append(np.asarray(
+            eng.txt2audio("a dog barking", n_samples=1, ddim_steps=25,
+                          seed=s, sampler="plms")))
+        print(f"seed {s} done", file=sys.stderr, flush=True)
+
+    d_sampler = float(np.mean([np.abs(a - b).mean()
+                               for a, b in zip(mels_d, mels_p)]))
+    d_seed = float(np.mean([np.abs(mels_d[i] - mels_d[j]).mean()
+                            for i in range(n_seeds)
+                            for j in range(i + 1, n_seeds)]))
+    print(json.dumps({
+        "metric": "t2a_plms25_vs_ddim100_mel_l1",
+        "same_seed_gap": round(d_sampler, 5),
+        "cross_seed_scale": round(d_seed, 5),
+        "ratio": round(d_sampler / max(d_seed, 1e-9), 4),
+        "n_seeds": n_seeds,
+    }))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 3)
