@@ -42,7 +42,11 @@ from audiogpt_tpu.dsp.mel import ldm_mel
 
 @dataclasses.dataclass(frozen=True)
 class T2AConfig:
-    unet: UNetConfig = UNetConfig()
+    #: inference default: remat OFF — ``nn.remat`` exists for the backward
+    #: pass; in the forward-only sampler it only hinders XLA fusion
+    #: (measured ~3 ms/eval on v5e). Training (``train/tasks/ldm.py``)
+    #: keeps its own remat-on config.
+    unet: UNetConfig = UNetConfig(use_checkpoint=False)
     vae: VAEConfig = VAEConfig()
     clap: CLAPTextConfig = CLAPTextConfig()
     mel_bins: int = 80

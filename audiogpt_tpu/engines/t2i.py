@@ -39,7 +39,8 @@ class T2IConfig:
     unet: UNetConfig = UNetConfig(
         in_channels=4, out_channels=4, model_channels=320,
         num_res_blocks=2, attention_resolutions=(1, 2, 4),
-        channel_mult=(1, 2, 4, 4), num_heads=8, context_dim=768)
+        channel_mult=(1, 2, 4, 4), num_heads=8, context_dim=768,
+        use_checkpoint=False)   # forward-only: remat off (see t2a.py)
     #: f8 image VAE (3-channel RGB)
     vae: VAEConfig = VAEConfig(ch=128, ch_mult=(1, 2, 4, 4),
                                num_res_blocks=2, attn_resolutions=(),
