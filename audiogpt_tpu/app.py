@@ -111,6 +111,13 @@ def _caption():
     return CaptionEngine()
 
 
+@register_engine("i2t")
+def _i2t():
+    from audiogpt_tpu.engines.analysis import ImageCaptionEngine
+
+    return ImageCaptionEngine()
+
+
 @register_engine("sed")
 def _sed():
     from audiogpt_tpu.engines.analysis import SEDEngine

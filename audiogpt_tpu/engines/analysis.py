@@ -236,3 +236,61 @@ class TSDEngine(Engine):
         filtered = median_filter(probs[:, None], window, threshold)[:, 0]
         fps = self.mel.sr / self.mel.hop
         return decode_timestamps(filtered, fps)
+
+
+@ENGINES.register("i2t")
+class ImageCaptionEngine(Engine):
+    """Image → caption string (the reference's ImageCaptioning tool,
+    ``audio-chatgpt.py:126-137``: HF BLIP-base greedy generate). Native
+    BLIP captioner; HF ckpts import via the ``blip`` converter family.
+
+    ``vocab_path``: BERT ``vocab.txt`` for WordPiece decode (ships with the
+    checkpoint); without it, token ids render as ``<id>`` placeholders
+    (smoke/demo mode, same policy as :class:`CaptionEngine`).
+    """
+
+    name = "i2t"
+
+    def __init__(self, cfg=None, params=None, vocab_path: str | None = None,
+                 rng_seed: int = 0, max_tokens: int = 24):
+        super().__init__()
+        from audiogpt_tpu.models.caption.blip import BlipCaptioner, BlipConfig
+
+        self.cfg = cfg or BlipConfig()
+        self.model = BlipCaptioner(self.cfg)
+        self.max_tokens = max_tokens
+        self.tokenizer = WordPieceTokenizer(
+            vocab_path, vocab_size=self.cfg.text.vocab_size)
+        if params is None:
+            s = self.cfg.vision.image_size
+            params = self.model.init(
+                jax.random.PRNGKey(rng_seed), jnp.zeros((1, s, s, 3)),
+                jnp.zeros((1, 2), jnp.int32))
+        self.params = params
+
+    def caption_tokens(self, images: np.ndarray) -> np.ndarray:
+        """BLIP-normalized images [B, S, S, 3] → tokens [B, 1+max_tokens]."""
+        from audiogpt_tpu.models.caption.blip import greedy_caption
+
+        return np.asarray(greedy_caption(
+            self.model, self.params, jnp.asarray(images), self.max_tokens))
+
+    def caption_image(self, image) -> str:
+        """image path / array → caption text."""
+        from audiogpt_tpu.models.caption.blip import preprocess_image
+
+        px = preprocess_image(image, self.cfg.vision.image_size)
+        toks = self.caption_tokens(px)[0]
+        t = self.cfg.text
+        body = [i for i in toks[1:] if i != t.eos_id]  # strip bos + eos pad
+        stop = np.where(toks[1:] == t.eos_id)[0]
+        if len(stop):
+            body = toks[1:][: stop[0]]
+        return self.tokenizer.decode(body)
+
+    def __call__(self, image_path: str) -> str:
+        return self._timed("i2t", lambda: self.caption_image(image_path))
+
+    def warmup(self) -> None:
+        s = self.cfg.vision.image_size
+        self.caption_tokens(np.zeros((1, s, s, 3), np.float32))

@@ -70,6 +70,7 @@ def convert(family: str, sd: Mapping[str, np.ndarray], cfg: Any) -> dict:
         "htsat": ti.convert_htsat,
         "t5": ti.convert_t5,
         "clip_text_hf": ti.convert_clip_text_hf,
+        "blip": ti.convert_blip,
     }
     if family not in table:
         raise KeyError(f"unknown family {family!r}; have {sorted(table)}")
@@ -149,6 +150,10 @@ def default_config(family: str) -> Any:
 
         return (CLIPVisionConfig() if family == "clip_vision"
                 else CLIPTextConfig())
+    if family == "blip":
+        from audiogpt_tpu.models.caption.blip import BlipConfig
+
+        return BlipConfig()
     if family == "diffsinger":
         from audiogpt_tpu.models.svs.diffsinger import DiffSingerConfig
 

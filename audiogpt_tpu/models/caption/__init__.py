@@ -4,3 +4,8 @@ from audiogpt_tpu.models.caption.captioner import (  # noqa: F401
     CaptionConfig,
     caption_greedy_decode,
 )
+from audiogpt_tpu.models.caption.blip import (  # noqa: F401
+    BlipCaptioner,
+    BlipConfig,
+    greedy_caption,
+)

@@ -1042,3 +1042,71 @@ def convert_clip_text_hf(sd: Mapping[str, np.ndarray], cfg) -> dict:
             "mlp_proj": _dense(sd, f"{b}.mlp.fc2"),
         }
     return {"params": p}
+
+
+def convert_blip(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """HF ``BlipForConditionalGeneration`` (``Salesforce/blip-image-
+    captioning-base``, the reference ImageCaptioning tool's checkpoint —
+    ``audio-chatgpt.py:126-137``) → :class:`BlipCaptioner`.
+
+    Vision tower: fused ``qkv`` Linear maps 1:1; patch Conv2d transposes to
+    NHWC. Text decoder: BERT-style q/k/v + cross q/k/v + post-LN trees; the
+    LM head's ``predictions.decoder``/``predictions.bias`` pair (HF ties
+    ``decoder.bias = bias``) lands in ``head_out``.
+    """
+    vis: dict = {
+        "patch_embed": _conv2d(sd, "vision_model.embeddings.patch_embedding"),
+        "class_embedding": np.asarray(
+            sd["vision_model.embeddings.class_embedding"]).reshape(-1)
+            .astype(np.float32),
+        "position_embedding": np.asarray(
+            sd["vision_model.embeddings.position_embedding"])[0]
+            .astype(np.float32),
+        "post_ln": _ln(sd, "vision_model.post_layernorm"),
+    }
+    for i in range(cfg.vision.layers):
+        b = f"vision_model.encoder.layers.{i}"
+        vis[f"block{i}"] = {
+            "ln_1": _ln(sd, f"{b}.layer_norm1"),
+            "ln_2": _ln(sd, f"{b}.layer_norm2"),
+            "qkv": _dense(sd, f"{b}.self_attn.qkv"),
+            "proj": _dense(sd, f"{b}.self_attn.projection"),
+            "fc1": _dense(sd, f"{b}.mlp.fc1"),
+            "fc2": _dense(sd, f"{b}.mlp.fc2"),
+        }
+    txt: dict = {
+        "word_emb": {"embedding": np.asarray(
+            sd["text_decoder.bert.embeddings.word_embeddings.weight"])
+            .astype(np.float32)},
+        "pos_emb": np.asarray(
+            sd["text_decoder.bert.embeddings.position_embeddings.weight"])
+            .astype(np.float32),
+        "emb_ln": _ln(sd, "text_decoder.bert.embeddings.LayerNorm"),
+        "head_dense": _dense(sd, "text_decoder.cls.predictions.transform.dense"),
+        "head_ln": _ln(sd, "text_decoder.cls.predictions.transform.LayerNorm"),
+        "head_out": {
+            "kernel": np.asarray(
+                sd["text_decoder.cls.predictions.decoder.weight"]).T
+                .astype(np.float32),
+            "bias": np.asarray(sd["text_decoder.cls.predictions.bias"])
+                .astype(np.float32),
+        },
+    }
+    for i in range(cfg.text.layers):
+        b = f"text_decoder.bert.encoder.layer.{i}"
+        txt[f"layer_{i}"] = {
+            "q": _dense(sd, f"{b}.attention.self.query"),
+            "k": _dense(sd, f"{b}.attention.self.key"),
+            "v": _dense(sd, f"{b}.attention.self.value"),
+            "attn_out": _dense(sd, f"{b}.attention.output.dense"),
+            "attn_ln": _ln(sd, f"{b}.attention.output.LayerNorm"),
+            "xq": _dense(sd, f"{b}.crossattention.self.query"),
+            "xk": _dense(sd, f"{b}.crossattention.self.key"),
+            "xv": _dense(sd, f"{b}.crossattention.self.value"),
+            "x_out": _dense(sd, f"{b}.crossattention.output.dense"),
+            "x_ln": _ln(sd, f"{b}.crossattention.output.LayerNorm"),
+            "inter": _dense(sd, f"{b}.intermediate.dense"),
+            "out": _dense(sd, f"{b}.output.dense"),
+            "out_ln": _ln(sd, f"{b}.output.LayerNorm"),
+        }
+    return {"params": {"vision": vis, "decoder": txt}}

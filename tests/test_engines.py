@@ -248,3 +248,64 @@ class TestT2IEngine:
         eng.media_root = str(tmp_path)
         tools = build_toolset({"t2i": eng}, root=str(tmp_path), mode="text")
         assert "Generate Image From User Input Text" in tools.names()
+
+
+class TestImageCaptionEngine:
+    """Native BLIP captioner behind the ImageCaptioning ('Get Photo
+    Description') tool slot (reference: external HF BLIP,
+    audio-chatgpt.py:126-137)."""
+
+    @staticmethod
+    def _tiny(vocab_path=None):
+        from audiogpt_tpu.engines.analysis import ImageCaptionEngine
+        from audiogpt_tpu.models.caption.blip import (
+            BlipConfig, BlipTextConfig, BlipVisionConfig,
+        )
+
+        return ImageCaptionEngine(BlipConfig(
+            vision=BlipVisionConfig(image_size=32, patch_size=16, width=32,
+                                    layers=1, heads=2, mlp_dim=64),
+            text=BlipTextConfig(vocab_size=60, width=32, layers=1, heads=2,
+                                mlp_dim=64, encoder_width=32, bos_id=58,
+                                eos_id=59),
+        ), vocab_path=vocab_path, max_tokens=5)
+
+    def test_caption_array_returns_text(self):
+        eng = self._tiny()
+        rng = np.random.RandomState(0)
+        out = eng.caption_image(rng.rand(32, 32, 3).astype(np.float32))
+        assert isinstance(out, str)
+
+    def test_caption_path_and_vocab_decode(self, tmp_path):
+        from PIL import Image
+
+        vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"] + [
+            f"w{i}" for i in range(54)] + ["[DEC]", "[ENC]"]
+        vp = tmp_path / "vocab.txt"
+        vp.write_text("\n".join(vocab) + "\n")
+        eng = self._tiny(vocab_path=str(vp))
+        img = tmp_path / "x.png"
+        Image.fromarray(
+            (np.random.RandomState(1).rand(20, 28, 3) * 255).astype(np.uint8)
+        ).save(img)
+        out = eng(str(img))
+        assert isinstance(out, str)
+        assert "[DEC]" not in out and "[SEP]" not in out
+        assert "i2t" in eng.timings
+
+    def test_registers_as_i2t_tool(self, tmp_path):
+        from audiogpt_tpu.agent.toolset import build_toolset
+
+        eng = self._tiny()
+        tools = build_toolset({"i2t": eng}, root=str(tmp_path), mode="text")
+        assert "Get Photo Description" in tools.names()
+
+    def test_jit_cached_across_calls(self):
+        from audiogpt_tpu.models.caption import blip
+
+        eng = self._tiny()
+        rng = np.random.RandomState(0)
+        eng.caption_image(rng.rand(32, 32, 3).astype(np.float32))
+        n0 = blip._caption_fn.cache_info().misses
+        eng.caption_image(rng.rand(32, 32, 3).astype(np.float32))
+        assert blip._caption_fn.cache_info().misses == n0

@@ -957,3 +957,70 @@ def test_clip_text_hf_parity():
     got = np.asarray(CLIPTextTower(cfg).apply(params, ids,
                                               return_sequence=True))
     assert np.abs(got - want).max() < 2e-4
+
+
+def test_blip_captioner_parity():
+    """ImageCaptioning tool's backing model (HF BlipForConditionalGeneration,
+    audio-chatgpt.py:126-137): convert('blip') matches teacher-forced logits
+    AND the greedy generate trajectory from [bos]."""
+    from transformers import BlipConfig as HFBlipConfig
+    from transformers import (BlipForConditionalGeneration, BlipTextConfig,
+                              BlipVisionConfig)
+
+    from audiogpt_tpu.import_ckpt import convert
+    from audiogpt_tpu.models.caption.blip import (
+        BlipCaptioner, BlipConfig, greedy_caption,
+    )
+    from audiogpt_tpu.models.caption.blip import (
+        BlipTextConfig as TextCfg,
+        BlipVisionConfig as VisCfg,
+    )
+
+    hf_cfg = HFBlipConfig(
+        vision_config=BlipVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, image_size=48, patch_size=16).to_dict(),
+        text_config=BlipTextConfig(
+            hidden_size=32, encoder_hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4, vocab_size=100,
+            bos_token_id=90, eos_token_id=99, pad_token_id=0).to_dict(),
+    )
+    torch.manual_seed(0)
+    ref = BlipForConditionalGeneration(hf_cfg).eval()
+
+    cfg = BlipConfig(
+        vision=VisCfg(image_size=48, patch_size=16, width=32, layers=2,
+                      heads=4, mlp_dim=64),
+        text=TextCfg(vocab_size=100, width=32, layers=2, heads=4, mlp_dim=64,
+                     encoder_width=32, bos_id=90, eos_id=99),
+    )
+    params = convert("blip", {k: v.numpy() for k, v in
+                              ref.state_dict().items()}, cfg)
+    model = BlipCaptioner(cfg)
+
+    rng = np.random.RandomState(0)
+    px = rng.randn(2, 3, 48, 48).astype(np.float32)
+    ids = np.array([[90, 5, 7, 12], [90, 3, 2, 8]], np.int64)
+    with torch.no_grad():
+        want = ref(pixel_values=torch.tensor(px),
+                   input_ids=torch.tensor(ids)).logits.numpy()
+    got = np.asarray(model.apply(params, px.transpose(0, 2, 3, 1),
+                                 np.asarray(ids, np.int32)))
+    assert np.abs(got - want).max() < 2e-4
+
+    # greedy trajectories match HF generate (tiny random net — any logits
+    # mismatch diverges the argmax chain within a few tokens)
+    with torch.no_grad():
+        hf_toks = ref.generate(pixel_values=torch.tensor(px),
+                               max_new_tokens=6, num_beams=1,
+                               do_sample=False).numpy()
+    ours = np.asarray(greedy_caption(model, params,
+                                     px.transpose(0, 2, 3, 1), max_tokens=6))
+    # HF stops the whole batch at min length when all rows hit eos; compare
+    # the generated prefix per row up to the first eos
+    for r in range(2):
+        h = hf_toks[r]
+        o = ours[r][: len(h)]
+        stop = np.where(h == 99)[0]
+        n = stop[0] + 1 if len(stop) else len(h)
+        assert (o[:n] == h[:n]).all(), (o, h)
