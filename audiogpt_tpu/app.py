@@ -162,6 +162,13 @@ def _binaural():
     return BinauralEngine()
 
 
+@register_engine("geneface")
+def _geneface():
+    from audiogpt_tpu.engines.face import GeneFaceEngine
+
+    return GeneFaceEngine()
+
+
 ALL_ENGINES = tuple(sorted(_FACTORIES))
 
 

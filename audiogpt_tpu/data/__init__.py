@@ -16,7 +16,8 @@ from audiogpt_tpu.data.binarizer import (
 )
 from audiogpt_tpu.data.loader import (ArrayDataLoader, TTSDataLoader,
     VocoderDataLoader, collate_audio_text, collate_mel_image,
-    collate_mixture, collate_tagging, collate_tts, collate_vocoder, prefetch)
+    collate_mixture, collate_motion, collate_tagging, collate_tts,
+    collate_vocoder, prefetch)
 from audiogpt_tpu.data.records import RecordDataset, RecordWriter
 from audiogpt_tpu.data.textgrid import (is_sil_phoneme, mel2ph_from_textgrid,
     parse_textgrid)
@@ -28,7 +29,7 @@ __all__ = [
     "load_split", "load_word_encoder",
     "mel2ph_from_durations", "ArrayDataLoader", "TTSDataLoader",
     "VocoderDataLoader", "collate_audio_text", "collate_mel_image",
-    "collate_mixture", "collate_tagging", "collate_tts",
+    "collate_mixture", "collate_motion", "collate_tagging", "collate_tts",
     "collate_vocoder", "prefetch",
     "RecordDataset", "RecordWriter",
     "is_sil_phoneme", "mel2ph_from_textgrid", "parse_textgrid",

@@ -343,6 +343,30 @@ def collate_mixture(samples: list[dict], n_samples: int) -> dict[str, np.ndarray
             "weight": np.ones(len(samples), np.float32)}
 
 
+def collate_motion(samples: list[dict], mel_len: int, video_len: int,
+                   out_dim: int = 136) -> dict[str, np.ndarray]:
+    """Audio2Motion batch: ``mel`` [T, M] (+ optional ``motion``
+    [T_v, 68*2] landmark-offset targets extracted from video). Records
+    without motion (audio-only corpora) fall back to the energy-articulation
+    pseudo-target (``models/face/audio2motion.pseudo_motion_targets``) so the
+    recipe is drivable on the same binarized data as the TTS tasks."""
+    from audiogpt_tpu.models.face.audio2motion import pseudo_motion_targets
+
+    mels, motions = [], []
+    for s in samples:
+        m = np.asarray(s["mel"], np.float32)[:mel_len]
+        m = np.pad(m, ((0, mel_len - m.shape[0]), (0, 0)))
+        mels.append(m)
+        if "motion" in s:
+            mo = np.asarray(s["motion"], np.float32)[:video_len]
+            mo = np.pad(mo, ((0, video_len - mo.shape[0]), (0, 0)))
+        else:
+            mo = pseudo_motion_targets(m, video_len)
+        motions.append(mo[:, :out_dim])
+    return {"mels": np.stack(mels), "motion": np.stack(motions),
+            "weight": np.ones(len(samples), np.float32)}
+
+
 class ArrayDataLoader:
     """Fixed-batch, fixed-shape loader for the non-bucketed recipes.
 

@@ -15,6 +15,9 @@ from audiogpt_tpu.train.tasks.caption import CaptionTask, CaptionTaskConfig
 from audiogpt_tpu.train.tasks.separation import SeparationTask, SeparationTaskConfig
 from audiogpt_tpu.train.tasks.portaspeech import PortaSpeechTask, PortaSpeechTaskConfig
 from audiogpt_tpu.train.tasks.clap import CLAPTask, CLAPTaskConfig
+from audiogpt_tpu.train.tasks.audio2motion import (
+    Audio2MotionTask, Audio2MotionTaskConfig,
+)
 
 __all__ = ["FS2Task", "FS2TaskConfig", "DiffSingerTask", "DiffSingerTaskConfig",
            "VocoderGANTask", "VocoderGANTaskConfig", "AdvTTSTask",
@@ -24,4 +27,5 @@ __all__ = ["FS2Task", "FS2TaskConfig", "DiffSingerTask", "DiffSingerTaskConfig",
            "SeparationTask", "SeparationTaskConfig",
            "PortaSpeechTask", "PortaSpeechTaskConfig",
            "PortaSpeechAdvTask", "PortaSpeechAdvTaskConfig",
-           "CLAPTask", "CLAPTaskConfig"]
+           "CLAPTask", "CLAPTaskConfig",
+           "Audio2MotionTask", "Audio2MotionTaskConfig"]

@@ -144,6 +144,14 @@ def build_task(cfg: Config):
 
         return PETask(_fill(PETaskConfig, {
             "model": model, "optim": dataclasses.asdict(optim), **loss}))
+    if name == "audio2motion":
+        # GeneFace-class variational motion generator (models/face/)
+        from audiogpt_tpu.train.tasks import (
+            Audio2MotionTask, Audio2MotionTaskConfig,
+        )
+
+        return Audio2MotionTask(_fill(Audio2MotionTaskConfig, {
+            "model": model, "optim": dataclasses.asdict(optim), **loss}))
     raise ValueError(f"unknown task {name!r}")
 
 
@@ -154,7 +162,7 @@ def build_loaders(cfg: Config, task_name: str):
     from audiogpt_tpu.data import (
         ArrayDataLoader, BucketSpec, TTSDataLoader, VocoderDataLoader,
         collate_audio_text, collate_mel_image, collate_mixture,
-        collate_tagging, collate_tts, load_split,
+        collate_motion, collate_tagging, collate_tts, load_split,
     )
 
     d = cfg.get("data", {})
@@ -198,6 +206,12 @@ def build_loaders(cfg: Config, task_name: str):
             collate_mixture,
             n_samples=int(d.get("sample_rate", 8000)
                           * d.get("clip_seconds", 4.0))),
+        "audio2motion": lambda: functools.partial(
+            collate_motion, mel_len=d.get("mel_len", 512),
+            video_len=d.get("mel_len", 512)
+            * cfg.get("model", {}).get("fps", 25)
+            * cfg.get("model", {}).get("hop", 256)
+            // cfg.get("model", {}).get("sample_rate", 16000)),
     }
     if task_name in fixed_collates:
         collate = fixed_collates[task_name]()

@@ -209,6 +209,12 @@ CASES = {
         "model.hidden=16,model.conv_layers=1,model.predictor_layers=1,"
         "optim.schedule=constant,optim.lr=0.001," + TINY_TTS_DATA,
         _tts_records),
+    "audio2motion": (
+        "configs/face/audio2motion.yaml",
+        "model.mel_bins=16,model.hidden=16,model.latent=4,"
+        "model.conv_layers=1,batch_size=8,data.mel_len=16,"
+        "optim.schedule=constant,optim.lr=0.001",
+        lambda: _mel_image_records(n_mels=16)),
 }
 
 
