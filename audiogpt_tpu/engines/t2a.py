@@ -33,6 +33,7 @@ from audiogpt_tpu.models.diffusion import (
     UNetModel,
     VAEConfig,
     ddim_sample,
+    dpmpp_sample,
     plms_sample,
 )
 from audiogpt_tpu.models.textenc import CLAPTextConfig, CLAPTextEncoder
@@ -157,7 +158,8 @@ class T2AEngine(Engine):
                 return self.unet.apply(unet_p, x, t, c)
 
             b = context.shape[0]
-            sample = plms_sample if sampler == "plms" else ddim_sample
+            sample = {"plms": plms_sample,
+                      "dpmpp": dpmpp_sample}.get(sampler, ddim_sample)
             z = sample(
                 eps, self.schedule, (b, h, w, cfg.unet.in_channels),
                 context, uncond, rng, n_steps=n_steps,
@@ -199,7 +201,8 @@ class T2AEngine(Engine):
         """→ candidate mels [n, frames, 80] in [0,1] (and wavs if a vocoder
         is attached: returns (mels, wavs)). ``sampler='plms'`` matches the
         reference's PLMSSampler (``plms.py``) — quality-comparable at ~4×
-        fewer steps (25 vs 100)."""
+        fewer steps (25 vs 100); ``sampler='dpmpp'`` is DPM-Solver++(2M)
+        (not in the reference) — use ``ddim_steps`` ≈ 10–15."""
         cfg = self.cfg
         if self.mesh is not None:
             # round candidates up to the data axis — extra candidates are

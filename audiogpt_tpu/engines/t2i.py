@@ -26,7 +26,8 @@ import numpy as np
 
 from audiogpt_tpu.models.diffusion import UNetConfig, UNetModel, VAEConfig
 from audiogpt_tpu.models.diffusion.samplers import (DiffusionSchedule,
-                                                    ddim_sample, plms_sample)
+                                                    ddim_sample, dpmpp_sample,
+                                                    plms_sample)
 from audiogpt_tpu.models.diffusion.vae import AutoencoderKL
 from audiogpt_tpu.models.textenc.clip import CLIPTextConfig, CLIPTextTower
 
@@ -148,7 +149,8 @@ class T2IEngine:
                 return self.unet.apply(unet_p, x, t, c)
 
             h, w = cfg.latent_hw
-            sample = plms_sample if sampler == "plms" else ddim_sample
+            sample = {"plms": plms_sample,
+                      "dpmpp": dpmpp_sample}.get(sampler, ddim_sample)
             z = sample(eps, self.schedule,
                        (context.shape[0], h, w, cfg.unet.in_channels),
                        context, uncond, rng, n_steps=n_steps,

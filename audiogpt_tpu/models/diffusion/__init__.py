@@ -4,5 +4,6 @@ from audiogpt_tpu.models.diffusion.samplers import (  # noqa: F401
     DiffusionSchedule,
     ddim_sample,
     ddpm_sample,
+    dpmpp_sample,
     plms_sample,
 )

@@ -200,6 +200,77 @@ def plms_sample(
     return img
 
 
+def dpmpp_sample(
+    eps_fn: Callable,
+    schedule: DiffusionSchedule,
+    shape: tuple,
+    context: jnp.ndarray,
+    uncond_context: jnp.ndarray | None,
+    rng: jax.Array,
+    n_steps: int = 15,
+    guidance_scale: float = 1.0,
+    x_T: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """DPM-Solver++(2M) (Lu et al. 2022, multistep data-prediction form) —
+    a second-order exponential-integrator the reference does not ship:
+    quality-comparable to its DDIM-100 at ~10–15 steps (measure with
+    ``tools/sampler_equivalence.py``). Same TPU shape as the other samplers
+    here: ONE ``lax.scan`` jit program, CFG pair batched inside ``eps_fn``,
+    per-step schedule scalars as scan inputs; the multistep history is one
+    carried ``x0`` tensor (cheaper than PLMS's 3-deep eps history).
+
+    Math (VP, λ = log(α/σ), h_i = λ_{i} − λ_{i-1}, r = h_{i-1}/h_i):
+      x0_i = (x − σ_i ε_θ)/α_i
+      D    = (1 + 1/2r)·x0_i − (1/2r)·x0_{i-1}      (first step: D = x0_i)
+      x_{i+1} = (σ_{next}/σ_i)·x − α_next·(e^{−h}−1)·D
+    """
+    ts, a, a_prev, _ = schedule.ddim_steps(n_steps, eta=0.0)
+    b = shape[0]
+    rng, k0 = jax.random.split(rng)
+    img = x_T if x_T is not None else jax.random.normal(k0, shape)
+    use_cfg = guidance_scale != 1.0 and uncond_context is not None
+
+    def eps_with_cfg(x, t_scalar):
+        t_vec = jnp.full((b,), t_scalar, jnp.int32)
+        if not use_cfg:
+            return eps_fn(x, t_vec, context)
+        e = eps_fn(
+            jnp.concatenate([x, x], 0),
+            jnp.concatenate([t_vec, t_vec], 0),
+            jnp.concatenate([uncond_context, context], 0),
+        )
+        e_uc, e_c = jnp.split(e, 2, axis=0)
+        return e_uc + guidance_scale * (e_c - e_uc)
+
+    def lam(acum):
+        return 0.5 * (jnp.log(acum) - jnp.log1p(-acum))
+
+    steps = {
+        "t": jnp.asarray(ts)[::-1],
+        "a": jnp.asarray(a)[::-1],
+        "a_prev": jnp.asarray(a_prev)[::-1],
+        "i": jnp.arange(len(ts)),
+    }
+
+    def body(carry, step):
+        img, x0_prev, h_prev = carry
+        at, at_next = step["a"], step["a_prev"]
+        al, sg = jnp.sqrt(at), jnp.sqrt(1.0 - at)
+        al_n, sg_n = jnp.sqrt(at_next), jnp.sqrt(1.0 - at_next)
+        h = lam(at_next) - lam(at)
+        e_t = eps_with_cfg(img, step["t"])
+        x0 = (img - sg * e_t) / al
+        r = h_prev / h
+        d2 = (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * x0_prev
+        d = jnp.where(step["i"] == 0, x0, d2)
+        img = (sg_n / sg) * img - al_n * jnp.expm1(-h) * d
+        return (img, x0, h), None
+
+    (img, _, _), _ = jax.lax.scan(
+        body, (img, jnp.zeros(shape), jnp.ones(())), steps)
+    return img
+
+
 def ddpm_sample(
     eps_fn: Callable,
     schedule: DiffusionSchedule,

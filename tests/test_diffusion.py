@@ -16,6 +16,7 @@ from audiogpt_tpu.models.diffusion import (
     VAEConfig,
     ddim_sample,
     ddpm_sample,
+    dpmpp_sample,
     plms_sample,
 )
 from audiogpt_tpu.utils.torch_import import convert_ldm_unet, convert_vae
@@ -188,6 +189,69 @@ class TestSamplers:
         out = plms_sample(self._eps_fn(), s, shape, jnp.zeros((1, 3, 8)), None,
                           jax.random.PRNGKey(0), n_steps=8)
         assert np.isfinite(np.asarray(out)).all()
+
+    def test_dpmpp_deterministic_zero_eps(self):
+        # with eps=0, x/alpha is invariant along the trajectory, so the 2M
+        # correction vanishes (x0_prev == x0) and the update telescopes to
+        # the same x_T * sqrt(a_first/a_last) chain DDIM produces.
+        s = DiffusionSchedule.linear(1000)
+        shape = (1, 4, 8, 2)
+        x_T = jnp.ones(shape)
+        out = dpmpp_sample(self._eps_fn(), s, shape, jnp.zeros((1, 3, 8)),
+                           None, jax.random.PRNGKey(0), n_steps=10,
+                           guidance_scale=1.0, x_T=x_T)
+        ts, a, a_prev, _ = s.ddim_steps(10)
+        expect = float(np.sqrt(a_prev[0] / a[-1]))
+        np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4)
+
+    def test_dpmpp_tracks_ddim_100(self):
+        """DPM++(2M)-10 must land nearer the DDIM-100 trajectory than
+        DDIM-10 does. Model: exact score of Gaussian data N(0, v) —
+        eps(x,t) = sigma*x/(alpha^2 v + sigma^2) — whose x0-prediction is
+        nonlinear in lambda, so the 2nd-order solver provably wins."""
+        s = DiffusionSchedule.linear(1000)
+        shape = (1, 4, 4, 2)
+        acum = jnp.asarray(s.alphas_cumprod)
+        v = 4.0
+
+        def eps(x, t, ctx):
+            a = acum[t].reshape((-1,) + (1,) * (x.ndim - 1))
+            return jnp.sqrt(1.0 - a) * x / (a * v + (1.0 - a))
+
+        x_T = jax.random.normal(jax.random.PRNGKey(3), shape)
+        ref = ddim_sample(eps, s, shape, jnp.zeros((1, 3, 8)), None,
+                          jax.random.PRNGKey(0), n_steps=100, x_T=x_T)
+        fast = dpmpp_sample(eps, s, shape, jnp.zeros((1, 3, 8)), None,
+                            jax.random.PRNGKey(0), n_steps=10, x_T=x_T)
+        slow = ddim_sample(eps, s, shape, jnp.zeros((1, 3, 8)), None,
+                           jax.random.PRNGKey(0), n_steps=10, x_T=x_T)
+        err_fast = float(np.abs(np.asarray(fast) - np.asarray(ref)).mean())
+        err_slow = float(np.abs(np.asarray(slow) - np.asarray(ref)).mean())
+        # measured: dpmpp-10 0.059 vs ddim-10 0.143 (2.4x); dpmpp-10 even
+        # edges ddim-15 (0.084)
+        assert err_fast < 0.5 * err_slow
+
+    def test_dpmpp_cfg_batching(self):
+        s = DiffusionSchedule.linear(100)
+        shape = (2, 4, 4, 2)
+
+        def eps(x, t, ctx):
+            return jnp.ones_like(x) * jnp.mean(ctx, axis=(1, 2))[:, None, None, None]
+
+        ctx_c = jnp.ones((2, 3, 4))
+        ctx_uc = jnp.zeros((2, 3, 4))
+        rng = jax.random.PRNGKey(1)
+        out_cfg = dpmpp_sample(eps, s, shape, ctx_c, ctx_uc, rng, n_steps=5,
+                               guidance_scale=2.0, x_T=jnp.zeros(shape))
+
+        def eps_manual(x, t, ctx):
+            return jnp.full_like(x, 2.0)  # 0 + 2*(1-0)
+
+        out_manual = dpmpp_sample(eps_manual, s, shape, ctx_c, None, rng,
+                                  n_steps=5, guidance_scale=1.0,
+                                  x_T=jnp.zeros(shape))
+        np.testing.assert_allclose(np.asarray(out_cfg),
+                                   np.asarray(out_manual), atol=1e-5)
 
     def test_ddpm_shallow_start(self):
         s = DiffusionSchedule.linear(100)

@@ -1,6 +1,9 @@
-"""Measure DDIM-100 vs PLMS-25 output equivalence at the production T2A
+"""Measure DDIM-100 vs fast-sampler output equivalence at the production T2A
 config (VERDICT round-1 item 3: beating the reference's DDIM-100 x3 setting
-OR a measured argument that PLMS-25 is output-equivalent).
+OR a measured argument that the fast sampler is output-equivalent).
+
+Fast sampler defaults to PLMS-25; pass e.g. ``--sampler dpmpp --steps 12``
+to measure DPM-Solver++(2M).
 
 Method: both samplers integrate the same probability-flow ODE over the same
 schedule; with identical weights, conditioning, and x_T, an output-equivalent
@@ -32,7 +35,7 @@ sys.path.insert(0, "/root/repo")
 import jax
 
 
-def main(n_seeds: int = 3):
+def main(n_seeds: int = 3, sampler: str = "plms", steps: int = 25):
     jax.config.update("jax_compilation_cache_dir", "/tmp/audiogpt_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
@@ -55,8 +58,8 @@ def main(n_seeds: int = 3):
             eng.txt2audio("a dog barking", n_samples=1, ddim_steps=100,
                           seed=s, sampler="ddim")))
         mels_p.append(np.asarray(
-            eng.txt2audio("a dog barking", n_samples=1, ddim_steps=25,
-                          seed=s, sampler="plms")))
+            eng.txt2audio("a dog barking", n_samples=1, ddim_steps=steps,
+                          seed=s, sampler=sampler)))
         print(f"seed {s} done", file=sys.stderr, flush=True)
 
     d_sampler = float(np.mean([np.abs(a - b).mean()
@@ -65,7 +68,7 @@ def main(n_seeds: int = 3):
                             for i in range(n_seeds)
                             for j in range(i + 1, n_seeds)]))
     print(json.dumps({
-        "metric": "t2a_plms25_vs_ddim100_mel_l1",
+        "metric": f"t2a_{sampler}{steps}_vs_ddim100_mel_l1",
         "same_seed_gap": round(d_sampler, 5),
         "cross_seed_scale": round(d_seed, 5),
         "ratio": round(d_sampler / max(d_seed, 1e-9), 4),
@@ -74,4 +77,10 @@ def main(n_seeds: int = 3):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 3)
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("n_seeds", nargs="?", type=int, default=3)
+    p.add_argument("--sampler", default="plms")
+    p.add_argument("--steps", type=int, default=25)
+    a = p.parse_args()
+    main(a.n_seeds, a.sampler, a.steps)
