@@ -71,7 +71,10 @@ def build_toolset(engines: Mapping[str, Any], root: str = ".",
     # ---- generation ------------------------------------------------------
     if "t2a" in e:
         def t2a_fn(text: str) -> str:
-            mels, wavs = e["t2a"].txt2audio(text)
+            cfg = e["t2a"].cfg
+            mels, wavs = e["t2a"].txt2audio(
+                text, sampler=getattr(cfg, "tool_sampler", "ddim"),
+                ddim_steps=getattr(cfg, "tool_steps", 100))
             best = e["t2a"].select_best(text, wavs) \
                 if hasattr(e["t2a"], "select_best") else 0
             return _save(wavs[best], e["t2a"].cfg.sample_rate, root)

@@ -86,7 +86,9 @@ def _t2a():
     from audiogpt_tpu.engines.vocoder import VocoderEngine
     from audiogpt_tpu.models.textenc.clap import CLAPScorer
 
-    return T2AEngine(vocoder=VocoderEngine("bigvgan"),
+    # buckets = the two diffusion canvases (10 s gen + inpaint) so the
+    # fused sampler+VAE+vocoder program engages (t2a._sample_vocode_fn)
+    return T2AEngine(vocoder=VocoderEngine("bigvgan", buckets=(624, 848)),
                      scorer=CLAPScorer(sample_rate=16000))
 
 

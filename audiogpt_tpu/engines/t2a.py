@@ -64,6 +64,14 @@ class T2AConfig:
     #: arithmetic and the VAE decode stay f32). MXU-rate win on TPU —
     #: off by default for bit-parity with the torch reference.
     unet_bf16: bool = False
+    #: sampler the agent tool / serving path uses. The reference runs
+    #: DDIM-100 (audio-chatgpt.py:166, ddim.py:118); DPM-Solver++(2M)-12 is
+    #: measured output-equivalent on this schedule (same-seed mel-L1 ratio
+    #: 0.034 of cross-seed scale, tools/sampler_equivalence.py) at 8.3×
+    #: fewer UNet evals. ``txt2audio`` keeps reference-exact defaults;
+    #: these knobs only steer the production tool call.
+    tool_sampler: str = "dpmpp"
+    tool_steps: int = 12
 
     @property
     def vae_factor(self) -> int:
@@ -134,41 +142,74 @@ class T2AEngine(Engine):
                                jnp.asarray(np.stack(masks)))
 
     # -- compiled cores -----------------------------------------------------
+    def _sample_core(self, params, context, uncond, rng, x_T, guidance,
+                     n_steps, h, w, sampler):
+        """Traced body shared by ``_sample_fn`` and ``_sample_vocode_fn``:
+        fused sampler scan → VAE decode → mel01 [B, 80, W, 1]."""
+        cfg = self.cfg
+        unet_p = params["unet"]
+        if cfg.unet_bf16:
+            unet_p = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, unet_p)
+            context = context.astype(jnp.bfloat16)
+            uncond = uncond.astype(jnp.bfloat16)
+
+        def eps(x, t, c):
+            if cfg.unet_bf16:
+                return self.unet.apply(
+                    unet_p, x.astype(jnp.bfloat16), t, c
+                ).astype(jnp.float32)
+            return self.unet.apply(unet_p, x, t, c)
+
+        b = context.shape[0]
+        sample = {"plms": plms_sample,
+                  "dpmpp": dpmpp_sample}.get(sampler, ddim_sample)
+        z = sample(
+            eps, self.schedule, (b, h, w, cfg.unet.in_channels),
+            context, uncond, rng, n_steps=n_steps,
+            guidance_scale=guidance, x_T=x_T)
+        z = z / cfg.scale_factor
+        mel = self.vae.apply(params["vae"], z, method=AutoencoderKL.decode)
+        return jnp.clip((mel + 1.0) / 2.0, 0.0, 1.0)  # [B, 80, W, 1]
+
     @functools.cached_property
     def _sample_fn(self):
-        cfg = self.cfg
-
         @functools.partial(jax.jit, static_argnames=("guidance", "n_steps",
                                                      "h", "w", "sampler"))
         def run(params, context, uncond, rng, x_T, guidance, n_steps, h, w,
                 sampler="ddim"):
-            unet_p = params["unet"]
-            if cfg.unet_bf16:
-                unet_p = jax.tree.map(
-                    lambda a: a.astype(jnp.bfloat16)
-                    if a.dtype == jnp.float32 else a, unet_p)
-                context = context.astype(jnp.bfloat16)
-                uncond = uncond.astype(jnp.bfloat16)
-
-            def eps(x, t, c):
-                if cfg.unet_bf16:
-                    return self.unet.apply(
-                        unet_p, x.astype(jnp.bfloat16), t, c
-                    ).astype(jnp.float32)
-                return self.unet.apply(unet_p, x, t, c)
-
-            b = context.shape[0]
-            sample = {"plms": plms_sample,
-                      "dpmpp": dpmpp_sample}.get(sampler, ddim_sample)
-            z = sample(
-                eps, self.schedule, (b, h, w, cfg.unet.in_channels),
-                context, uncond, rng, n_steps=n_steps,
-                guidance_scale=guidance, x_T=x_T)
-            z = z / cfg.scale_factor
-            mel = self.vae.apply(params["vae"], z, method=AutoencoderKL.decode)
-            return jnp.clip((mel + 1.0) / 2.0, 0.0, 1.0)  # [B, 80, W, 1]
+            return self._sample_core(params, context, uncond, rng, x_T,
+                                     guidance, n_steps, h, w, sampler)
 
         return run
+
+    @functools.cached_property
+    def _sample_vocode_fn(self):
+        """Sampler scan + VAE decode + vocoder in ONE jit program — on the
+        high-latency tunnel each extra dispatch/host-transfer costs more than
+        the vocoder compute itself, so the whole text→wav tool call is a
+        single device roundtrip (the reference runs three separate torch
+        modules per candidate, audio-chatgpt.py:163-186)."""
+        voc = self.vocoder
+
+        @functools.partial(jax.jit, static_argnames=("guidance", "n_steps",
+                                                     "h", "w", "sampler"))
+        def run(params, voc_params, context, uncond, rng, x_T, guidance,
+                n_steps, h, w, sampler="ddim"):
+            mel01 = self._sample_core(params, context, uncond, rng, x_T,
+                                      guidance, n_steps, h, w, sampler)
+            mel_t = jnp.transpose(mel01[..., 0], (0, 2, 1))  # [B, W, 80]
+            wav = voc.model.apply(voc_params, mel_t)
+            return mel01, wav
+
+        return run
+
+    def _can_fuse_vocoder(self) -> bool:
+        v = self.vocoder
+        return (v is not None
+                and not (v.kind == "hifigan" and getattr(v.cfg, "use_nsf", False))
+                and self.cfg.mel_len in v.bucketer.buckets)
 
     @functools.cached_property
     def _inpaint_fn(self):
@@ -209,8 +250,9 @@ class T2AEngine(Engine):
             # free on idle chips and only improve best-of-n
             d = self.mesh.shape["data"]
             n_samples = ((n_samples + d - 1) // d) * d
-        ctx = self.encode_text([text] * n_samples)
-        uc = self.encode_text([""] * n_samples)
+        # one batched encode for cond+uncond — halves the dispatch roundtrips
+        both = self.encode_text([text] * n_samples + [""] * n_samples)
+        ctx, uc = both[:n_samples], both[n_samples:]
         h, w = cfg.latent_hw
         if seed is not None:
             rng = jax.random.PRNGKey(seed)
@@ -223,6 +265,12 @@ class T2AEngine(Engine):
 
             batch_sh = NamedSharding(self.mesh, P("data"))
             ctx, uc, x_T = (jax.device_put(a, batch_sh) for a in (ctx, uc, x_T))
+        if self._can_fuse_vocoder():
+            mel, wav = self._sample_vocode_fn(
+                self.params, self.vocoder.params, ctx, uc, rng, x_T, scale,
+                ddim_steps, h, w, sampler)
+            mels = np.asarray(mel)[..., 0].transpose(0, 2, 1)
+            return mels, np.asarray(wav)
         mel = self._sample_fn(self.params, ctx, uc, rng, x_T, scale,
                               ddim_steps, h, w, sampler)
         mel = np.asarray(mel)[..., 0]          # [n, 80, W]

@@ -48,9 +48,13 @@ def _kernel(xq_ref, halo_ref, alpha_ref, inv_beta_ref, out_ref, *,
             t_total: int, t_blk: int, up, dn):
     i = pl.program_id(1)
     t0 = i * t_blk
-    xb = jnp.concatenate([xq_ref[0], halo_ref[0]], axis=0)  # [t_blk+H, C]
-    a = alpha_ref[:]                                        # [1, C]
-    inv_b = inv_beta_ref[:]
+    # compute in f32 regardless of storage dtype: Mosaic has no bf16
+    # transcendental lowering (math.sin fails to legalize), and with bf16
+    # HBM tensors the bandwidth win is in the loads/stores, not the ALU
+    xb = jnp.concatenate([xq_ref[0], halo_ref[0]],
+                         axis=0).astype(jnp.float32)        # [t_blk+H, C]
+    a = alpha_ref[:].astype(jnp.float32)                    # [1, C]
+    inv_b = inv_beta_ref[:].astype(jnp.float32)
 
     # xb row r holds x[clip(t0 + r - 6)]; phase FIRs on the extended range
     # u ∈ [t0-3, t0+t_blk+2] → local row u-t0+3 of s_e/s_o (t_blk+6 rows).
@@ -73,7 +77,7 @@ def _kernel(xq_ref, halo_ref, alpha_ref, inv_beta_ref, out_ref, *,
     # local SE row for u=t+b-2: (t-t0) + b + 1 ; SO row for u=t+b-3: (t-t0)+b
     out_ref[0] = sum(
         dn[2 * b + 1] * se[b + 1: b + 1 + t_blk] + dn[2 * b] * so[b: b + t_blk]
-        for b in range(6))
+        for b in range(6)).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -84,6 +88,17 @@ def snake_aa_pallas(x: jnp.ndarray, alpha: jnp.ndarray, beta: jnp.ndarray,
     Matches ``SnakeAA`` (literal and polyphase paths) to float tolerance.
     """
     b, t, c = x.shape
+    # Lane packing: for narrow channel counts the (sublane=T, lane=C) layout
+    # wastes most of the 128 vector lanes (C=32 → 25% — measured the kernel
+    # VPU-bound there, ~5.2 ms at [3,159744,32]). Fold batch into lanes:
+    # [B,T,C] → [1,T,B·C]. The FIR slices run along sublanes uniformly over
+    # all lanes and the edge-clamp tests are row(=global t)-based, so each
+    # batch's lane-group computes exactly its own answer.
+    if b > 1 and c < 128 and b * c <= 512:
+        xf = jnp.transpose(x, (1, 0, 2)).reshape(1, t, b * c)
+        y = snake_aa_pallas(xf, jnp.tile(alpha, b), jnp.tile(beta, b),
+                            interpret=interpret)
+        return jnp.transpose(y.reshape(t, b, c), (1, 0, 2))
     t_blk = min(_T_BLK, max(16, ((t + 15) // 16) * 16))
     nt = pl.cdiv(t, t_blk)
     up, dn = _taps()

@@ -438,6 +438,10 @@ def main():
         extra.append({"metric": "t2a_e2e_rtf_plms25_x3",
                       "value": round(rtf_plms, 4), "unit": "rtf",
                       "vs_baseline": round(0.05 / rtf_plms, 3)})
+        rtf_dpm, _ = bench_t2a_e2e(steps=12, n_samples=3, sampler="dpmpp")
+        extra.append({"metric": "t2a_e2e_rtf_dpmpp12_x3",
+                      "value": round(rtf_dpm, 4), "unit": "rtf",
+                      "vs_baseline": round(0.05 / rtf_dpm, 3)})
         # bf16 UNet: the TPU-native production configuration
         rtf_bf16, _ = bench_t2a_e2e(steps=100, n_samples=3, bf16=True)
         extra.append({"metric": "t2a_e2e_rtf_ddim100_x3_bf16",

@@ -201,6 +201,56 @@ def test_t2a_plms_sampler_path():
     assert m.shape == (1, 32, 16) and np.isfinite(m).all()
 
 
+def test_t2a_fused_vocoder_matches_separate_programs():
+    """The single-roundtrip sampler+VAE+vocoder program must be numerically
+    identical to running the sampler program and the vocoder program
+    separately (and only engage when the canvas is a vocoder bucket)."""
+    import numpy as np
+    from audiogpt_tpu.engines.t2a import T2AConfig, T2AEngine
+    from audiogpt_tpu.engines.vocoder import VocoderEngine
+    from audiogpt_tpu.models.diffusion import UNetConfig, VAEConfig
+    from audiogpt_tpu.models.textenc import CLAPTextConfig
+    from audiogpt_tpu.models.textenc.bert import BertConfig
+    from audiogpt_tpu.models.vocoder import BigVGANConfig
+
+    cfg = T2AConfig(
+        unet=UNetConfig(model_channels=32, num_res_blocks=1,
+                        channel_mult=(1, 2), num_heads=4, context_dim=24,
+                        in_channels=4, use_checkpoint=False),
+        vae=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                      attn_resolutions=(), in_channels=1, z_channels=4,
+                      resolution=16),
+        clap=CLAPTextConfig(bert=BertConfig(vocab_size=100, hidden_size=16,
+                                            num_layers=1, num_heads=2,
+                                            intermediate_size=32), d_proj=24),
+        mel_bins=16, mel_len=32)
+    vcfg = BigVGANConfig(num_mels=16, upsample_rates=(4, 2),
+                         upsample_kernel_sizes=(8, 4),
+                         upsample_initial_channel=32,
+                         resblock_kernel_sizes=(3,),
+                         resblock_dilation_sizes=((1, 3),))
+    voc = VocoderEngine("bigvgan", cfg=vcfg, buckets=(32,))
+    eng = T2AEngine(cfg, vocoder=voc)
+    assert eng._can_fuse_vocoder()
+    mels, wavs = eng.txt2audio("a dog barking", n_samples=2, ddim_steps=4,
+                               seed=0, sampler="dpmpp")
+    assert mels.shape == (2, 32, 16) and wavs.shape == (2, 32 * 8)
+
+    plain = T2AEngine(cfg)
+    plain.params = eng.params
+    mels2 = plain.txt2audio("a dog barking", n_samples=2, ddim_steps=4,
+                            seed=0, sampler="dpmpp")
+    np.testing.assert_allclose(mels, mels2, atol=2e-5)
+    np.testing.assert_allclose(wavs, voc(mels2), atol=2e-5)
+
+    # non-bucket canvas → fusion declines, separate-path API unchanged
+    off = T2AEngine(cfg, vocoder=VocoderEngine("bigvgan", cfg=vcfg,
+                                               buckets=(64,)))
+    assert not off._can_fuse_vocoder()
+    m3, w3 = off.txt2audio("x", n_samples=1, ddim_steps=2, seed=0)
+    assert m3.shape[1] == 32 and w3.shape[-1] == 32 * 8
+
+
 class TestT2IEngine:
     """Native StableDiffusion-class text→image on the shared diffusion
     stack (reference T2I shells out to hosted HF SD, audio-chatgpt.py)."""

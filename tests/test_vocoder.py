@@ -231,6 +231,24 @@ def test_bigvgan_pallas_aa_matches_literal():
                                atol=3e-6)
 
 
+def test_snake_aa_pallas_batch_fold_exact():
+    """The lane-packing fast path (batch folded into lanes for C<128) must
+    be bit-identical to per-batch kernel calls — the fold is a pure layout
+    transform; FIR rows and edge clamps are lane-independent."""
+    import jax.numpy as jnp
+
+    from audiogpt_tpu.ops.snake_aa import snake_aa_pallas
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(3, 53, 8).astype(np.float32))
+    a = jnp.asarray(rng.rand(8).astype(np.float32) + 0.5)
+    b = jnp.asarray(rng.rand(8).astype(np.float32) + 0.5)
+    y_fold = snake_aa_pallas(x, a, b, interpret=True)
+    y_ref = jnp.concatenate([
+        snake_aa_pallas(x[i:i + 1], a, b, interpret=True) for i in range(3)], 0)
+    np.testing.assert_array_equal(np.asarray(y_fold), np.asarray(y_ref))
+
+
 def test_snake_aa_pallas_bf16_path():
     """aa_bf16 + pallas combination: the kernel accepts bfloat16 tensors
     (bf16 tiles are (16,128) — t_blk stays 16-aligned) and tracks the
