@@ -81,6 +81,12 @@ class I2AEngine(Engine):
         rng = jax.random.PRNGKey(seed)
         rng, krng = jax.random.split(rng)
         x_T = jax.random.normal(krng, (1, h, w, cfg.unet.in_channels))
+        if t2a._can_fuse_vocoder():
+            # one device roundtrip: sampler + VAE + vocoder (see t2a)
+            _, wav = t2a._sample_vocode_fn(
+                t2a.params, t2a.vocoder.params, ctx, self._uncond, rng, x_T,
+                scale, ddim_steps, h, w, "ddim")
+            return np.asarray(wav)[0], cfg.sample_rate
         mel = t2a._sample_fn(t2a.params, ctx, self._uncond, rng, x_T, scale,
                              ddim_steps, h, w)
         mel = np.asarray(mel)[0, :, :, 0].T  # [frames, 80]

@@ -205,33 +205,57 @@ class T2AEngine(Engine):
 
         return run
 
-    def _can_fuse_vocoder(self) -> bool:
+    def _can_fuse_vocoder(self, frames: int | None = None) -> bool:
         v = self.vocoder
         return (v is not None
                 and not (v.kind == "hifigan" and getattr(v.cfg, "use_nsf", False))
-                and self.cfg.mel_len in v.bucketer.buckets)
+                and (frames or self.cfg.mel_len) in v.bucketer.buckets)
+
+    def _inpaint_core(self, params, mel01, mask_latent, context, uncond, rng,
+                      guidance, n_steps, sampler="ddim"):
+        cfg = self.cfg
+        # encode original mel (mel01 in [0,1] → VAE domain [-1,1])
+        x = mel01 * 2.0 - 1.0
+        post = self.vae.apply(params["vae"], x, method=AutoencoderKL.encode)
+        z0 = post.mode() * cfg.scale_factor
+
+        def eps(x_, t, c):
+            return self.unet.apply(params["unet"], x_, t, c)
+
+        sample = {"dpmpp": dpmpp_sample}.get(sampler, ddim_sample)
+        z = sample(
+            eps, self.schedule, z0.shape, context, uncond, rng,
+            n_steps=n_steps, guidance_scale=guidance,
+            mask=mask_latent, x0=z0)
+        mel = self.vae.apply(params["vae"], z / cfg.scale_factor,
+                             method=AutoencoderKL.decode)
+        return jnp.clip((mel + 1.0) / 2.0, 0.0, 1.0)
 
     @functools.cached_property
     def _inpaint_fn(self):
-        cfg = self.cfg
+        @functools.partial(jax.jit, static_argnames=("guidance", "n_steps",
+                                                     "sampler"))
+        def run(params, mel01, mask_latent, context, uncond, rng, guidance,
+                n_steps, sampler="ddim"):
+            return self._inpaint_core(params, mel01, mask_latent, context,
+                                      uncond, rng, guidance, n_steps, sampler)
 
-        @functools.partial(jax.jit, static_argnames=("guidance", "n_steps"))
-        def run(params, mel01, mask_latent, context, uncond, rng, guidance, n_steps):
-            # encode original mel (mel01 in [0,1] → VAE domain [-1,1])
-            x = mel01 * 2.0 - 1.0
-            post = self.vae.apply(params["vae"], x, method=AutoencoderKL.encode)
-            z0 = post.mode() * cfg.scale_factor
+        return run
 
-            def eps(x_, t, c):
-                return self.unet.apply(params["unet"], x_, t, c)
+    @functools.cached_property
+    def _inpaint_vocode_fn(self):
+        """Inpaint + vocoder in one jit program (same rationale as
+        ``_sample_vocode_fn``)."""
+        voc = self.vocoder
 
-            z = ddim_sample(
-                eps, self.schedule, z0.shape, context, uncond, rng,
-                n_steps=n_steps, guidance_scale=guidance,
-                mask=mask_latent, x0=z0)
-            mel = self.vae.apply(params["vae"], z / cfg.scale_factor,
-                                 method=AutoencoderKL.decode)
-            return jnp.clip((mel + 1.0) / 2.0, 0.0, 1.0)
+        @functools.partial(jax.jit, static_argnames=("guidance", "n_steps",
+                                                     "sampler"))
+        def run(params, voc_params, mel01, mask_latent, context, uncond, rng,
+                guidance, n_steps, sampler="ddim"):
+            out = self._inpaint_core(params, mel01, mask_latent, context,
+                                     uncond, rng, guidance, n_steps, sampler)
+            mel_t = jnp.transpose(out[..., 0], (0, 2, 1))  # [1, W, 80]
+            return out, voc.model.apply(voc_params, mel_t)
 
         return run
 
@@ -289,7 +313,7 @@ class T2AEngine(Engine):
 
     def inpaint(self, wav: np.ndarray, mask_time: np.ndarray,
                 text: str = "", ddim_steps: int = 100,
-                scale: float = 1.0) -> np.ndarray:
+                scale: float = 1.0, sampler: str = "ddim") -> np.ndarray:
         """``mask_time`` with 1 = KEEP original; regenerates the rest.
         Accepts a 1-D time mask ``[frames]`` (text-specified ranges) or a
         2-D time-frequency mask ``[frames, mel_bins]`` (the UI's sketch-
@@ -331,12 +355,20 @@ class T2AEngine(Engine):
             mask_latent = jnp.asarray(m2)[None, :, :, None] * jnp.ones(
                 (1, cfg.mel_bins // f, lat_w, cfg.unet.in_channels))
 
-        ctx = self.encode_text([text])
-        uc = self.encode_text([""]) if scale != 1.0 else None
+        if scale != 1.0:
+            both = self.encode_text([text, ""])  # one batched dispatch
+            ctx, uc = both[:1], both[1:]
+        else:
+            ctx = self.encode_text([text])
+            uc = ctx
         self._rng, rng = jax.random.split(self._rng)
+        if self._can_fuse_vocoder(cfg.inpaint_mel_len):
+            _, wav = self._inpaint_vocode_fn(
+                self.params, self.vocoder.params, jnp.asarray(mel01),
+                mask_latent, ctx, uc, rng, scale, ddim_steps, sampler)
+            return np.asarray(wav)[0]
         out = self._inpaint_fn(self.params, jnp.asarray(mel01), mask_latent,
-                               ctx, uc if uc is not None else ctx, rng,
-                               scale, ddim_steps)
+                               ctx, uc, rng, scale, ddim_steps, sampler)
         out_mel = np.asarray(out)[0, :, :, 0].T  # [frames, 80]
         if self.vocoder is None:
             return out_mel

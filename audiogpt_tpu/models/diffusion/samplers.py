@@ -210,6 +210,8 @@ def dpmpp_sample(
     n_steps: int = 15,
     guidance_scale: float = 1.0,
     x_T: jnp.ndarray | None = None,
+    mask: jnp.ndarray | None = None,   # inpaint: 1 = keep original
+    x0: jnp.ndarray | None = None,     # inpaint: original latent
 ) -> jnp.ndarray:
     """DPM-Solver++(2M) (Lu et al. 2022, multistep data-prediction form) —
     a second-order exponential-integrator the reference does not ship:
@@ -250,24 +252,33 @@ def dpmpp_sample(
         "a": jnp.asarray(a)[::-1],
         "a_prev": jnp.asarray(a_prev)[::-1],
         "i": jnp.arange(len(ts)),
+        "key": jax.random.split(rng, len(ts)),
     }
 
     def body(carry, step):
         img, x0_prev, h_prev = carry
+        if mask is not None and x0 is not None:
+            # inpaint mask-blend, same scheme as ddim_sample (ddim.py:148)
+            t_vec = jnp.full((b,), step["t"], jnp.int32)
+            img_orig = schedule.q_sample(
+                x0, t_vec, jax.random.normal(step["key"], img.shape))
+            img = img_orig * mask + (1.0 - mask) * img
         at, at_next = step["a"], step["a_prev"]
         al, sg = jnp.sqrt(at), jnp.sqrt(1.0 - at)
         al_n, sg_n = jnp.sqrt(at_next), jnp.sqrt(1.0 - at_next)
         h = lam(at_next) - lam(at)
         e_t = eps_with_cfg(img, step["t"])
-        x0 = (img - sg * e_t) / al
+        x0_hat = (img - sg * e_t) / al
         r = h_prev / h
-        d2 = (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * x0_prev
-        d = jnp.where(step["i"] == 0, x0, d2)
+        d2 = (1.0 + 1.0 / (2.0 * r)) * x0_hat - (1.0 / (2.0 * r)) * x0_prev
+        d = jnp.where(step["i"] == 0, x0_hat, d2)
         img = (sg_n / sg) * img - al_n * jnp.expm1(-h) * d
-        return (img, x0, h), None
+        return (img, x0_hat, h), None
 
     (img, _, _), _ = jax.lax.scan(
         body, (img, jnp.zeros(shape), jnp.ones(())), steps)
+    if mask is not None and x0 is not None:
+        img = x0 * mask + (1.0 - mask) * img
     return img
 
 

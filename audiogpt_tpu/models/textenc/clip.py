@@ -152,5 +152,15 @@ def preprocess_image(path_or_array, image_size: int = 224) -> np.ndarray:
         arr = np.asarray(path_or_array, np.float32)
         if arr.max() > 1.5:
             arr = arr / 255.0
+        if arr.shape[:2] != (image_size, image_size):
+            from PIL import Image
+
+            img = Image.fromarray((arr * 255).astype(np.uint8))
+            w, h = img.size
+            s = min(w, h)
+            img = img.crop(((w - s) // 2, (h - s) // 2,
+                            (w + s) // 2, (h + s) // 2))
+            img = img.resize((image_size, image_size), Image.BICUBIC)
+            arr = np.asarray(img, np.float32) / 255.0
     arr = (arr - CLIP_MEAN) / CLIP_STD
     return arr[None]

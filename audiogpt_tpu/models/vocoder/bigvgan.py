@@ -155,7 +155,11 @@ class SnakeAA(nn.Module):
     the one path that matches float64 ground truth (8e-7 vs the literal
     XLA conv chain's 2.3e-2 on TPU — its FIRs run through bf16 MXU passes).
     ``impl='auto'`` (the generator default) uses Pallas on TPU and the
-    literal chain elsewhere.
+    literal chain elsewhere. The Pallas path is inference-only (no VJP
+    rule); BigVGAN ships pre-trained in the reference (Make-An-Audio
+    ``vocoder/bigvgan``) and the training recipe here is HiFi-GAN
+    (``train/tasks/vocoder_gan.py``) — set ``impl='literal'`` if you do
+    differentiate through it.
     """
 
     channels: int

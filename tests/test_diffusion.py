@@ -183,6 +183,17 @@ class TestSamplers:
                           mask=mask, x0=x0)
         np.testing.assert_allclose(np.asarray(out)[:, :2], 0.7, atol=1e-6)
 
+    def test_dpmpp_inpaint_mask_keeps_original(self):
+        s = DiffusionSchedule.linear(100)
+        shape = (1, 4, 8, 2)
+        x0 = jnp.full(shape, 0.7)
+        mask = jnp.zeros(shape).at[:, :2].set(1.0)
+        out = dpmpp_sample(self._eps_fn(), s, shape, jnp.zeros((1, 3, 8)),
+                           None, jax.random.PRNGKey(0), n_steps=5,
+                           x_T=jnp.ones(shape), mask=mask, x0=x0)
+        np.testing.assert_allclose(np.asarray(out)[:, :2], 0.7, atol=1e-6)
+        assert np.isfinite(np.asarray(out)).all()
+
     def test_plms_runs(self):
         s = DiffusionSchedule.linear(100)
         shape = (1, 4, 4, 2)

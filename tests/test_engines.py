@@ -177,6 +177,43 @@ class TestT2AMultiChip:
         assert mels.shape[2] == 16 and np.isfinite(mels).all()
 
 
+def test_t2a_fused_vocoder_on_mesh():
+    """Fused sampler+VAE+vocoder program under a data-sharded candidate
+    batch: candidates round up to the mesh data axis and the single program
+    emits one wav per candidate."""
+    import numpy as np
+    from audiogpt_tpu.engines.t2a import T2AConfig, T2AEngine
+    from audiogpt_tpu.engines.vocoder import VocoderEngine
+    from audiogpt_tpu.models.diffusion import UNetConfig, VAEConfig
+    from audiogpt_tpu.models.textenc import CLAPTextConfig
+    from audiogpt_tpu.models.textenc.bert import BertConfig
+    from audiogpt_tpu.models.vocoder import BigVGANConfig
+    from audiogpt_tpu.parallel import MeshSpec, make_mesh
+
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    cfg = T2AConfig(
+        unet=UNetConfig(model_channels=32, num_res_blocks=1,
+                        channel_mult=(1, 2), num_heads=4, context_dim=24,
+                        in_channels=4, use_checkpoint=False),
+        vae=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                      attn_resolutions=(), in_channels=1, z_channels=4,
+                      resolution=16),
+        clap=CLAPTextConfig(bert=BertConfig(
+            vocab_size=100, hidden_size=16, num_layers=1, num_heads=2,
+            intermediate_size=32), d_proj=24),
+        mel_bins=16, mel_len=32)
+    vcfg = BigVGANConfig(num_mels=16, upsample_rates=(4, 2),
+                         upsample_kernel_sizes=(8, 4),
+                         upsample_initial_channel=32,
+                         resblock_kernel_sizes=(3,),
+                         resblock_dilation_sizes=((1, 3),))
+    eng = T2AEngine(cfg, vocoder=VocoderEngine("bigvgan", cfg=vcfg,
+                                               buckets=(32,)), mesh=mesh)
+    mels, wavs = eng.txt2audio("multi chip", n_samples=3, ddim_steps=2, seed=0)
+    assert mels.shape[0] == 8 and wavs.shape == (8, 32 * 8)
+    assert np.isfinite(wavs).all()
+
+
 def test_t2a_plms_sampler_path():
     """PLMS path compiles and produces distinct-but-similar output shape."""
     import numpy as np
@@ -223,7 +260,7 @@ def test_t2a_fused_vocoder_matches_separate_programs():
         clap=CLAPTextConfig(bert=BertConfig(vocab_size=100, hidden_size=16,
                                             num_layers=1, num_heads=2,
                                             intermediate_size=32), d_proj=24),
-        mel_bins=16, mel_len=32)
+        mel_bins=16, mel_len=32, inpaint_mel_len=32)
     vcfg = BigVGANConfig(num_mels=16, upsample_rates=(4, 2),
                          upsample_kernel_sizes=(8, 4),
                          upsample_initial_channel=32,
@@ -242,6 +279,19 @@ def test_t2a_fused_vocoder_matches_separate_programs():
                             seed=0, sampler="dpmpp")
     np.testing.assert_allclose(mels, mels2, atol=2e-5)
     np.testing.assert_allclose(wavs, voc(mels2), atol=2e-5)
+
+    # inpaint through the fused program == separate inpaint + vocoder
+    import jax
+
+    rng = np.random.RandomState(0)
+    wav_in = rng.randn(cfg.inpaint_mel_len * cfg.hop).astype(np.float32) * 0.1
+    mask = np.ones(cfg.inpaint_mel_len, np.float32)
+    mask[8:16] = 0.0
+    eng._rng = plain._rng = jax.random.PRNGKey(5)
+    w_f = eng.inpaint(wav_in, mask, ddim_steps=3)
+    mel_p = plain.inpaint(wav_in, mask, ddim_steps=3)
+    assert w_f.ndim == 1 and w_f.shape[0] == cfg.inpaint_mel_len * 8
+    np.testing.assert_allclose(w_f, voc(mel_p), atol=2e-5)
 
     # non-bucket canvas → fusion declines, separate-path API unchanged
     off = T2AEngine(cfg, vocoder=VocoderEngine("bigvgan", cfg=vcfg,

@@ -102,3 +102,50 @@ def test_i2a_engine(tmp_path):
         0, 255, (40, 56, 3)).astype(np.uint8)).save(img2)
     mel2, _ = eng.img2audio(img2, ddim_steps=4)
     assert np.abs(mel1b - mel2).max() > 1e-6
+
+
+def test_i2a_fused_vocoder_matches_separate(tmp_path):
+    """img2audio through the fused sampler+VAE+vocoder program returns the
+    same waveform as the separate mel→vocoder path."""
+    from audiogpt_tpu.engines.i2a import I2AEngine
+    from audiogpt_tpu.engines.t2a import T2AConfig, T2AEngine
+    from audiogpt_tpu.engines.vocoder import VocoderEngine
+    from audiogpt_tpu.models.diffusion import UNetConfig, VAEConfig
+    from audiogpt_tpu.models.textenc import CLAPTextConfig
+    from audiogpt_tpu.models.textenc.bert import BertConfig
+    from audiogpt_tpu.models.vocoder import BigVGANConfig
+
+    cfg = T2AConfig(
+        unet=UNetConfig(model_channels=32, num_res_blocks=1,
+                        channel_mult=(1, 2), num_heads=4, context_dim=32,
+                        in_channels=4, use_checkpoint=False),
+        vae=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                      attn_resolutions=(), in_channels=1, z_channels=4,
+                      resolution=16),
+        clap=CLAPTextConfig(bert=BertConfig(vocab_size=100, hidden_size=16,
+                                            num_layers=1, num_heads=2,
+                                            intermediate_size=32), d_proj=32),
+        mel_bins=16, mel_len=32)
+    vcfg = BigVGANConfig(num_mels=16, upsample_rates=(4, 2),
+                         upsample_kernel_sizes=(8, 4),
+                         upsample_initial_channel=32,
+                         resblock_kernel_sizes=(3,),
+                         resblock_dilation_sizes=((1, 3),))
+    voc = VocoderEngine("bigvgan", cfg=vcfg, buckets=(32,))
+    t2a_f = T2AEngine(cfg, vocoder=voc)
+    t2a_p = T2AEngine(cfg)
+    t2a_p.params = t2a_f.params
+    vis, txt = _tiny_vision(32), _tiny_text(32)
+    eng_f = I2AEngine(t2a_f, vis, txt)
+    eng_p = I2AEngine(t2a_p, vis, txt)
+    eng_p.vision_params = eng_f.vision_params
+    eng_p.text_params = eng_f.text_params
+
+    from PIL import Image
+    img_path = str(tmp_path / "img.png")
+    Image.fromarray(np.random.default_rng(3).integers(
+        0, 255, (40, 56, 3)).astype(np.uint8)).save(img_path)
+    wav, sr = eng_f.img2audio(img_path, ddim_steps=3)
+    mel, _ = eng_p.img2audio(img_path, ddim_steps=3)
+    assert wav.ndim == 1 and wav.shape[0] == 32 * 8 and sr == 16000
+    np.testing.assert_allclose(wav, voc(mel), atol=2e-5)

@@ -234,8 +234,11 @@ def _run_case(name, tmp_path, via_subprocess=False):
         env["JAX_PLATFORMS"] = "cpu"
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
                             " --xla_force_host_platform_device_count=8").strip()
+        # generous bound: under a full-suite run the whole core is contended
+        # and the subprocess's cold XLA compiles stretch several-fold (a
+        # 1200 s bound timed out at suite scale while passing standalone)
         subprocess.run([sys.executable, "-m", "audiogpt_tpu.train_cli", *argv],
-                       check=True, cwd=REPO, env=env, timeout=1200)
+                       check=True, cwd=REPO, env=env, timeout=3000)
     else:
         from audiogpt_tpu import train_cli
 
