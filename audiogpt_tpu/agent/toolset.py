@@ -71,13 +71,21 @@ def build_toolset(engines: Mapping[str, Any], root: str = ".",
     # ---- generation ------------------------------------------------------
     if "t2a" in e:
         def t2a_fn(text: str) -> str:
-            cfg = e["t2a"].cfg
-            mels, wavs = e["t2a"].txt2audio(
+            eng = e["t2a"]
+            cfg = eng.cfg
+            if hasattr(eng, "txt2audio_best"):
+                # sample + vocode + CLAP best-of-3 in ONE device roundtrip
+                _, wav, _ = eng.txt2audio_best(text)
+                if wav is None:
+                    raise ValueError("t2a tool requires a vocoder-equipped "
+                                     "T2AEngine")
+                return _save(wav, cfg.sample_rate, root)
+            mels, wavs = eng.txt2audio(
                 text, sampler=getattr(cfg, "tool_sampler", "ddim"),
                 ddim_steps=getattr(cfg, "tool_steps", 100))
-            best = e["t2a"].select_best(text, wavs) \
-                if hasattr(e["t2a"], "select_best") else 0
-            return _save(wavs[best], e["t2a"].cfg.sample_rate, root)
+            best = eng.select_best(text, wavs) \
+                if hasattr(eng, "select_best") else 0
+            return _save(wavs[best], cfg.sample_rate, root)
     add("t2a", "Generate Audio From User Input Text",
         "useful for when you want to generate an audio from a user input "
         "text and it saved it to a file. The input to this tool should be "

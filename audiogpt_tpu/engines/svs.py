@@ -183,8 +183,15 @@ class SVSEngine(Engine):
             if self._pe_fn is None:
                 self._pe_fn = jax.jit(
                     lambda p, m: self.pitch_extractor.apply(p, m))
-            pe_out = self._pe_fn(self.pe_params, jnp.asarray(mel[None]))
-            f0 = np.asarray(pe_out["f0_denorm_pred"])[0]
+            # pad the trimmed mel onto the vocoder's bucket ladder so the PE
+            # program compiles once per bucket, not once per unique length
+            # (PE is conv-only with nonpad masking — padding-safe)
+            vb = self.vocoder.bucketer
+            mb = mel[None]
+            if mel.shape[0] <= max(vb.buckets):
+                mb, _ = vb.pad_to_bucket(mb, axis=1)
+            pe_out = self._pe_fn(self.pe_params, jnp.asarray(mb))
+            f0 = np.asarray(pe_out["f0_denorm_pred"])[0][: mel.shape[0]]
         return self.vocoder(mel, f0=f0)
 
 

@@ -211,6 +211,39 @@ class T2AEngine(Engine):
                 and not (v.kind == "hifigan" and getattr(v.cfg, "use_nsf", False))
                 and (frames or self.cfg.mel_len) in v.bucketer.buckets)
 
+    @functools.cached_property
+    def _sample_vocode_rank_fn(self):
+        """Best-of-n tool call as ONE jit program: sampler scan + VAE decode
+        + vocoder + CLAP candidate scoring + argmax. The reference runs these
+        as five separate torch modules and re-instantiates the scorer per
+        call (``select_best_audio``, audio-chatgpt.py:185-199); here only the
+        winning wav crosses the host boundary — on the ~36 MB/s tunnel the
+        losers' download plus their re-upload into a separate scoring
+        dispatch costs more than the scoring compute itself."""
+        voc, sc = self.vocoder, self.scorer
+
+        @functools.partial(jax.jit, static_argnames=("guidance", "n_steps",
+                                                     "h", "w", "sampler"))
+        def run(params, voc_params, sc_text_p, sc_audio_p, ids, mask,
+                context, uncond, rng, x_T, guidance, n_steps, h, w,
+                sampler="ddim"):
+            mel01 = self._sample_core(params, context, uncond, rng, x_T,
+                                      guidance, n_steps, h, w, sampler)
+            mel_t = jnp.transpose(mel01[..., 0], (0, 2, 1))  # [B, W, 80]
+            wav = voc.model.apply(voc_params, mel_t)
+            t = sc.text.apply(sc_text_p, ids, mask,
+                              method=CLAPTextEncoder.cls_embedding)
+            a = sc.audio.apply(sc_audio_p, wav,
+                               jnp.full((wav.shape[0],), wav.shape[1],
+                                        jnp.int32))
+            t = t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+            a = a / jnp.linalg.norm(a, axis=-1, keepdims=True)
+            scores = (a @ t.T)[:, 0]                        # [n]
+            best = jnp.argmax(scores)
+            return mel01[best], wav[best], scores
+
+        return run
+
     def _inpaint_core(self, params, mel01, mask_latent, context, uncond, rng,
                       guidance, n_steps, sampler="ddim"):
         cfg = self.cfg
@@ -260,14 +293,10 @@ class T2AEngine(Engine):
         return run
 
     # -- public API ---------------------------------------------------------
-    def txt2audio(self, text: str, n_samples: int = 3, ddim_steps: int = 100,
-                  scale: float = 1.5, seed: int | None = None,
-                  sampler: str = "ddim") -> np.ndarray:
-        """→ candidate mels [n, frames, 80] in [0,1] (and wavs if a vocoder
-        is attached: returns (mels, wavs)). ``sampler='plms'`` matches the
-        reference's PLMSSampler (``plms.py``) — quality-comparable at ~4×
-        fewer steps (25 vs 100); ``sampler='dpmpp'`` is DPM-Solver++(2M)
-        (not in the reference) — use ``ddim_steps`` ≈ 10–15."""
+    def _prep_candidates(self, text: str, n_samples: int, seed: int | None):
+        """Shared candidate prep: batched cond+uncond text encode (one
+        dispatch), initial noise, mesh sharding. → (ctx, uc, rng, x_T) with
+        n_samples rounded up to the mesh data axis."""
         cfg = self.cfg
         if self.mesh is not None:
             # round candidates up to the data axis — extra candidates are
@@ -289,6 +318,20 @@ class T2AEngine(Engine):
 
             batch_sh = NamedSharding(self.mesh, P("data"))
             ctx, uc, x_T = (jax.device_put(a, batch_sh) for a in (ctx, uc, x_T))
+        return ctx, uc, rng, x_T
+
+    def txt2audio(self, text: str, n_samples: int = 3, ddim_steps: int = 100,
+                  scale: float = 1.5, seed: int | None = None,
+                  sampler: str = "ddim") -> np.ndarray:
+        """→ candidate mels [n, frames, 80] in [0,1] (and wavs if a vocoder
+        is attached: returns (mels, wavs)). ``sampler='plms'`` matches the
+        reference's PLMSSampler (``plms.py``) — quality-comparable at ~4×
+        fewer steps (25 vs 100); ``sampler='dpmpp'`` is DPM-Solver++(2M)
+        (not in the reference) — use ``ddim_steps`` ≈ 10–15."""
+        cfg = self.cfg
+        ctx, uc, rng, x_T = self._prep_candidates(text, n_samples, seed)
+        n_samples = x_T.shape[0]
+        h, w = cfg.latent_hw
         if self._can_fuse_vocoder():
             mel, wav = self._sample_vocode_fn(
                 self.params, self.vocoder.params, ctx, uc, rng, x_T, scale,
@@ -310,6 +353,43 @@ class T2AEngine(Engine):
         if self.scorer is None:
             return 0
         return self.scorer.select_best(text, wavs)
+
+    def txt2audio_best(self, text: str, n_samples: int = 3,
+                       ddim_steps: int | None = None, scale: float = 1.5,
+                       seed: int | None = None, sampler: str | None = None):
+        """The full best-of-n tool call (reference T2A semantics: sample n,
+        vocode, CLAP-rank, keep the winner — audio-chatgpt.py:158-199) as a
+        single device roundtrip. → ``(mel [frames, 80], wav [T], scores [n])``
+        numpy arrays; ``scores`` are the per-candidate CLAP similarities.
+        ``sampler``/``ddim_steps`` default to the engine's production tool
+        config (``cfg.tool_sampler``/``cfg.tool_steps``). Falls back to the
+        separate-program path when the vocoder can't fuse or no scorer is
+        attached (identical results, more roundtrips)."""
+        cfg = self.cfg
+        sampler = cfg.tool_sampler if sampler is None else sampler
+        ddim_steps = cfg.tool_steps if ddim_steps is None else ddim_steps
+        if self.scorer is None or not self._can_fuse_vocoder():
+            out = self.txt2audio(text, n_samples=n_samples,
+                                 ddim_steps=ddim_steps, scale=scale,
+                                 seed=seed, sampler=sampler)
+            if self.vocoder is None:
+                mels = out
+                return mels[0], None, np.zeros(len(mels), np.float32)
+            mels, wavs = out
+            scores = (self.scorer.score(text, wavs) if self.scorer is not None
+                      else np.zeros(len(wavs), np.float32))
+            best = int(scores.argmax())
+            return mels[best], wavs[best], scores
+        ctx, uc, rng, x_T = self._prep_candidates(text, n_samples, seed)
+        h, w = cfg.latent_hw
+        sc = self.scorer
+        sids, smask = sc.tokenizer.encode(text, sc.cfg.max_length)
+        mel_b, wav_b, scores = self._sample_vocode_rank_fn(
+            self.params, self.vocoder.params, sc.text_params, sc.audio_params,
+            jnp.asarray(sids)[None], jnp.asarray(smask)[None],
+            ctx, uc, rng, x_T, scale, ddim_steps, h, w, sampler)
+        mel = np.asarray(mel_b)[..., 0].T              # [frames, 80]
+        return mel, np.asarray(wav_b), np.asarray(scores)
 
     def inpaint(self, wav: np.ndarray, mask_time: np.ndarray,
                 text: str = "", ddim_steps: int = 100,

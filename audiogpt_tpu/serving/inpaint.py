@@ -67,9 +67,10 @@ def decode_mask_png(data: bytes, mel_bins: int = 80) -> np.ndarray:
     img = Image.open(io.BytesIO(data))
     if "A" in img.getbands():
         a = np.asarray(img.getchannel("A"), np.float32) / 255.0
-        if a.max() > 0:          # drawn-on-transparent overlay
+        if a.min() < 1.0:        # alpha varies → drawn-on-transparent overlay
             arr = a
-        else:                    # fully opaque: fall back to luminance
+        else:                    # fully opaque (e.g. exported/painted PNG):
+            # alpha carries no stroke information — use luminance
             arr = np.asarray(img.convert("L"), np.float32) / 255.0
     else:
         arr = np.asarray(img.convert("L"), np.float32) / 255.0

@@ -170,25 +170,104 @@ def bench_diffusion_steps(iters: int = 3, steps: int = 25, bf16: bool = False,
 
 
 def bench_t2a_e2e(steps: int = 100, n_samples: int = 3, iters: int = 2,
-                  sampler: str = "ddim", bf16: bool = False):
+                  sampler: str = "ddim", bf16: bool = False,
+                  ranked: bool = False):
     """Full T2A tool call at the REFERENCE's own config (DDIM-100 × 3
     candidates + BigVGAN vocoding, audio-chatgpt.py:158-199; the user gets
-    one best 10 s clip). Returns (rtf_vs_10s_output, wall_s)."""
+    one best 10 s clip). ``ranked=True`` additionally includes the CLAP
+    best-of-n scoring INSIDE the fused program (``txt2audio_best``) — the
+    complete per-request cost the reference pays at audio-chatgpt.py:185-199.
+    Returns (rtf_vs_10s_output, wall_s)."""
     from audiogpt_tpu.engines.t2a import T2AConfig, T2AEngine
     from audiogpt_tpu.engines.vocoder import VocoderEngine
 
+    scorer = None
+    if ranked:
+        from audiogpt_tpu.models.textenc.clap import CLAPScorer
+
+        scorer = CLAPScorer(sample_rate=16000)
     eng = T2AEngine(T2AConfig(unet_bf16=bf16),
-                    vocoder=VocoderEngine("bigvgan", buckets=(624,)))
-    eng.txt2audio("warmup", n_samples=n_samples, ddim_steps=steps, seed=0,
-                  sampler=sampler)
-    t0 = time.perf_counter()
-    for i in range(iters):
-        mels, wavs = eng.txt2audio("benchmark", n_samples=n_samples,
-                                   ddim_steps=steps, seed=i, sampler=sampler)
-        _host_sync(wavs)
-    dt = (time.perf_counter() - t0) / iters
+                    vocoder=VocoderEngine("bigvgan", buckets=(624,)),
+                    scorer=scorer)
+    if ranked:
+        eng.txt2audio_best("warmup", n_samples=n_samples, ddim_steps=steps,
+                           seed=0, sampler=sampler)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            _, wav, _ = eng.txt2audio_best(
+                "benchmark", n_samples=n_samples, ddim_steps=steps, seed=i,
+                sampler=sampler)
+            _host_sync(wav)
+        dt = (time.perf_counter() - t0) / iters
+    else:
+        eng.txt2audio("warmup", n_samples=n_samples, ddim_steps=steps, seed=0,
+                      sampler=sampler)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            mels, wavs = eng.txt2audio("benchmark", n_samples=n_samples,
+                                       ddim_steps=steps, seed=i,
+                                       sampler=sampler)
+            _host_sync(wavs)
+        dt = (time.perf_counter() - t0) / iters
     audio_out = eng.cfg.mel_len * eng.cfg.hop / eng.cfg.sample_rate  # ≈10 s
     return dt / audio_out, dt
+
+
+def bench_train_step(iters: int = 10, batch: int = 32, tokens: int = 128,
+                     frames: int = 640):
+    """FastSpeech2 training throughput on the live chip: steps/s and MFU
+    (XLA cost analysis ÷ wall ÷ chip bf16 peak). LJSpeech-scale model
+    (hidden 256, 4+4 FFT layers — ``configs/tts/fs2.yaml`` defaults), one
+    device-resident synthetic batch reused every step so the number measures
+    device compute + step dispatch, not the tunnel's ~36 MB/s host upload
+    (a real input pipeline overlaps transfers)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from audiogpt_tpu.models.tts.fastspeech2 import FastSpeech2Config
+    from audiogpt_tpu.train import OptimConfig, Trainer, TrainerConfig
+    from audiogpt_tpu.train.tasks import FS2Task, FS2TaskConfig
+    from audiogpt_tpu.utils.flops import peak_flops
+
+    task = FS2Task(FS2TaskConfig(
+        model=FastSpeech2Config(max_frames=frames),
+        optim=OptimConfig(schedule="constant", lr=1e-4)))
+    rng = np.random.default_rng(0)
+    mel2ph = np.minimum(np.arange(frames) * tokens // frames + 1,
+                        tokens)[None].repeat(batch, 0).astype(np.int32)
+    b = {
+        "txt_tokens": rng.integers(3, 100, (batch, tokens)).astype(np.int32),
+        "mel2ph": mel2ph,
+        "mels": rng.normal(size=(batch, frames, 80)).astype(np.float32) * 0.1,
+        "f0": np.full((batch, frames), 200.0, np.float32),
+        "uv": np.zeros((batch, frames), np.float32),
+        "weight": np.ones(batch, np.float32),
+    }
+    b = {k: jnp.asarray(v) for k, v in b.items()}
+    with tempfile.TemporaryDirectory() as wd:
+        trainer = Trainer(task, TrainerConfig(
+            work_dir=wd, max_updates=1, val_check_interval=10 ** 9,
+            log_interval=10 ** 9, num_sanity_val_steps=0,
+            use_tensorboard=False))
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        krng = jax.random.PRNGKey(1)
+        state, metrics = trainer._run_step("model", state, b, krng)  # compile
+        _host_sync(metrics[next(iter(metrics))]
+                   if isinstance(metrics, dict) else metrics)
+        flops = next(iter(trainer._compiled_steps.values()))[1]
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = trainer._run_step("model", state, b, krng)
+            _host_sync(metrics[next(iter(metrics))]
+                       if isinstance(metrics, dict) else metrics)
+        dt = (time.perf_counter() - t0) / iters
+    mfu = None
+    pk = peak_flops()
+    if flops and pk:
+        mfu = flops / dt / pk[0]
+    return 1.0 / dt, mfu
 
 
 def bench_tts_rtf(iters: int = 10):
@@ -397,7 +476,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--suite", default="headline",
                     choices=["headline", "all", "flash", "asr", "diffusion",
-                             "chain", "tts", "serve", "speech"])
+                             "chain", "tts", "serve", "speech", "train"])
     ap.add_argument("--frames", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--batch", type=int, default=1)
@@ -442,11 +521,24 @@ def main():
         extra.append({"metric": "t2a_e2e_rtf_dpmpp12_x3",
                       "value": round(rtf_dpm, 4), "unit": "rtf",
                       "vs_baseline": round(0.05 / rtf_dpm, 3)})
+        # the COMPLETE tool call (production config): sample + vocode + CLAP
+        # best-of-3 rank fused into one program, only the winner downloaded
+        rtf_rank, _ = bench_t2a_e2e(steps=12, n_samples=3, sampler="dpmpp",
+                                    ranked=True)
+        extra.append({"metric": "t2a_e2e_rtf_dpmpp12_x3_ranked",
+                      "value": round(rtf_rank, 4), "unit": "rtf",
+                      "vs_baseline": round(0.05 / rtf_rank, 3)})
         # bf16 UNet: the TPU-native production configuration
         rtf_bf16, _ = bench_t2a_e2e(steps=100, n_samples=3, bf16=True)
         extra.append({"metric": "t2a_e2e_rtf_ddim100_x3_bf16",
                       "value": round(rtf_bf16, 4), "unit": "rtf",
                       "vs_baseline": round(0.05 / rtf_bf16, 3)})
+    if args.suite in ("all", "train"):
+        sps, t_mfu = bench_train_step()
+        extra.append({"metric": "fs2_train_steps_per_sec_b32",
+                      "value": round(sps, 3), "unit": "steps_per_sec",
+                      "vs_baseline": round(sps, 3),
+                      **({"mfu": round(t_mfu, 4)} if t_mfu else {})})
     if args.suite in ("all", "tts"):
         for name, (dt, audio) in bench_tts_rtf().items():
             extra.append({"metric": f"tts_{name}_wall_s",

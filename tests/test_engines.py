@@ -301,6 +301,87 @@ def test_t2a_fused_vocoder_matches_separate_programs():
     assert m3.shape[1] == 32 and w3.shape[-1] == 32 * 8
 
 
+def test_t2a_fused_rank_matches_separate_scoring():
+    """``txt2audio_best`` (sampler+VAE+vocoder+CLAP rank in ONE program,
+    only the winner downloaded) must pick the same candidate with the same
+    scores as the separate sample→vocode→``CLAPScorer.score`` pipeline
+    (reference ``select_best_audio``, audio-chatgpt.py:185-199)."""
+    import numpy as np
+    from audiogpt_tpu.dsp.mel import MelSpec
+    from audiogpt_tpu.engines.t2a import T2AConfig, T2AEngine
+    from audiogpt_tpu.engines.vocoder import VocoderEngine
+    from audiogpt_tpu.models.diffusion import UNetConfig, VAEConfig
+    from audiogpt_tpu.models.textenc import CLAPTextConfig
+    from audiogpt_tpu.models.textenc.bert import BertConfig
+    from audiogpt_tpu.models.textenc.clap import CLAPScorer
+    from audiogpt_tpu.models.textenc.htsat import HTSATConfig
+    from audiogpt_tpu.models.vocoder import BigVGANConfig
+
+    cfg = T2AConfig(
+        unet=UNetConfig(model_channels=32, num_res_blocks=1,
+                        channel_mult=(1, 2), num_heads=4, context_dim=24,
+                        in_channels=4, use_checkpoint=False),
+        vae=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                      attn_resolutions=(), in_channels=1, z_channels=4,
+                      resolution=16),
+        clap=CLAPTextConfig(bert=BertConfig(vocab_size=100, hidden_size=16,
+                                            num_layers=1, num_heads=2,
+                                            intermediate_size=32), d_proj=24),
+        mel_bins=16, mel_len=32, tool_sampler="dpmpp", tool_steps=3)
+    # 64× upsampling so candidate wavs (2048 samples) cover the scorer's
+    # 1024-point mel frontend
+    vcfg = BigVGANConfig(num_mels=16, upsample_rates=(8, 8),
+                         upsample_kernel_sizes=(16, 16),
+                         upsample_initial_channel=32,
+                         resblock_kernel_sizes=(3,),
+                         resblock_dilation_sizes=((1, 3),))
+    scorer = CLAPScorer(
+        CLAPTextConfig(bert=BertConfig(vocab_size=200, hidden_size=16,
+                                       num_layers=1, num_heads=2,
+                                       intermediate_size=32), d_proj=32),
+        audio_tower="htsat", sample_rate=16000,
+        audio_cfg=HTSATConfig(
+            mel=MelSpec(16000, 1024, 320, 1024, 16, 50.0, 7000.0, power=2.0,
+                        pad_mode="reflect", log="db10", amin=1e-10),
+            spec_size=64, patch=4, window=8, embed_dim=8, depths=(1, 1),
+            num_heads=(2, 2), num_classes=10))
+    voc = VocoderEngine("bigvgan", cfg=vcfg, buckets=(32,))
+    eng = T2AEngine(cfg, vocoder=voc, scorer=scorer)
+
+    mel_b, wav_b, scores = eng.txt2audio_best("a dog barking", n_samples=3,
+                                              seed=0)
+    assert mel_b.shape == (32, 16) and wav_b.shape == (32 * 64,)
+    assert scores.shape == (3,) and np.isfinite(scores).all()
+
+    # separate-program pipeline: same candidates, same scores, same winner
+    mels, wavs = eng.txt2audio("a dog barking", n_samples=3, ddim_steps=3,
+                               seed=0, sampler="dpmpp")
+    scores2 = scorer.score("a dog barking", wavs)
+    best = int(scores2.argmax())
+    np.testing.assert_allclose(scores, scores2, atol=1e-4)
+    np.testing.assert_allclose(wav_b, wavs[best], atol=2e-5)
+    np.testing.assert_allclose(mel_b, mels[best], atol=2e-5)
+
+    # no scorer → falls back to candidate 0 with zero scores, same contract
+    plain = T2AEngine(cfg, vocoder=voc)
+    plain.params = eng.params
+    mel0, wav0, sc0 = plain.txt2audio_best("a dog barking", n_samples=3,
+                                           seed=0)
+    assert (sc0 == 0).all()
+    np.testing.assert_allclose(wav0, wavs[0], atol=2e-5)
+
+    # mesh path: candidates shard over the data axis, rank+argmax runs
+    # in-program (GSPMD collectives), only the winner leaves the device
+    from audiogpt_tpu.parallel import MeshSpec, make_mesh
+
+    mesh = make_mesh(MeshSpec(data=8, model=1))
+    meng = T2AEngine(cfg, vocoder=voc, scorer=scorer, mesh=mesh)
+    melm, wavm, scm = meng.txt2audio_best("multi chip", n_samples=3, seed=0)
+    assert melm.shape == (32, 16) and wavm.shape == (32 * 64,)
+    assert scm.shape == (8,) and np.isfinite(scm).all()  # rounded up to 8
+    assert np.isfinite(wavm).all()
+
+
 class TestT2IEngine:
     """Native StableDiffusion-class text→image on the shared diffusion
     stack (reference T2I shells out to hosted HF SD, audio-chatgpt.py)."""

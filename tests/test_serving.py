@@ -438,3 +438,43 @@ def test_sketch_mask_inpaint_roundtrip(tmp_path):
         assert code == 400
     finally:
         httpd.shutdown()
+
+
+def test_decode_mask_png_variants():
+    """Alpha is the mask only when it varies (drawn-on-transparent overlay);
+    a fully-opaque RGBA upload must fall back to luminance — otherwise the
+    all-255 alpha plane reads as 'regenerate everything'."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from audiogpt_tpu.serving.inpaint import decode_mask_png
+
+    def png(img):
+        b = io.BytesIO()
+        img.save(b, format="PNG")
+        return b.getvalue()
+
+    # overlay: transparent canvas + white strokes → alpha carries the mask
+    ov = Image.new("RGBA", (32, 16), (0, 0, 0, 0))
+    for x in range(4, 8):
+        for y in range(2, 6):
+            ov.putpixel((x, y), (255, 255, 255, 255))
+    m = decode_mask_png(png(ov), mel_bins=16)
+    assert m.shape == (32, 16)
+    assert m[5, 3] == 1.0 and m[0, 0] == 0.0 and m.sum() == 16.0
+
+    # fully opaque RGBA (exported/painted mask) → luminance, NOT alpha
+    op = Image.new("RGBA", (32, 16), (0, 0, 0, 255))
+    for x in range(4, 8):
+        for y in range(2, 6):
+            op.putpixel((x, y), (255, 255, 255, 255))
+    m2 = decode_mask_png(png(op), mel_bins=16)
+    assert m2[5, 3] == 1.0 and m2[0, 0] == 0.0 and m2.sum() == 16.0
+
+    # plain grayscale → luminance
+    g = Image.new("L", (32, 16), 0)
+    g.putpixel((4, 2), 255)
+    m3 = decode_mask_png(png(g), mel_bins=16)
+    assert m3[4, 2] == 1.0 and m3.sum() == 1.0
