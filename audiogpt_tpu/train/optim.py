@@ -46,6 +46,13 @@ class OptimConfig:
     accumulate_steps: int = 1
     lr_decay: float = 0.999          # exponential schedule (GAN)
     lr_decay_every: int = 1000
+    #: weight EMA (reference LitEma, ldm/modules/ema.py via ddpm.py:43
+    #: ``use_ema=True``): 0 disables; shadow params live in state["ema"]
+    #: and update inside the jitted step (one fused program, no extra
+    #: dispatch). ``ema_warmup`` reproduces LitEma's num_updates ramp
+    #: ``min(decay, (1 + n) / (10 + n))``.
+    ema_decay: float = 0.0
+    ema_warmup: bool = True
 
 
 def make_schedule(cfg: OptimConfig) -> optax.Schedule:

@@ -38,7 +38,8 @@ class LDMTaskConfig:
     train_cond_stage: bool = False    # reference freezes CLAP
     optim: OptimConfig = OptimConfig(
         optimizer="adamw", lr=1e-4, schedule="constant", beta1=0.9,
-        beta2=0.999, clip_grad_norm=1.0)
+        beta2=0.999, clip_grad_norm=1.0,
+        ema_decay=0.9999)  # reference trains with use_ema (ddpm.py:43)
 
 
 class LDMTask:

@@ -91,7 +91,11 @@ class Trainer:
         params = jax.tree.map(lambda x: jax.device_put(x, repl), params)
         opt_state = {g: self.tx[g].init(params[g]) for g in self.groups}
         opt_state = jax.tree.map(lambda x: jax.device_put(x, repl), opt_state)
-        return {"params": params, "opt": opt_state,
+        # weight-EMA shadows (reference LitEma, ddpm.py use_ema) — one copy
+        # per group that asks for it, resident next to the live params
+        ema = {g: jax.tree.map(jnp.array, params[g]) for g in self.groups
+               if self.task.optim_cfgs[g].ema_decay > 0.0}
+        return {"params": params, "opt": opt_state, "ema": ema,
                 "step": jax.device_put(jnp.zeros((), jnp.int32), repl)}
 
     def restore_or_init(self) -> dict[str, Any]:
@@ -104,9 +108,18 @@ class Trainer:
         return state
 
     # -- compiled steps ------------------------------------------------------
+    def ema_params(self, state) -> dict[str, Any]:
+        """Params with EMA-tracked groups swapped in — the eval/export view
+        (the reference samples and checkpoints under ``ema_scope``,
+        ddpm.py ``use_ema``)."""
+        params = dict(state["params"])
+        params.update(state.get("ema", {}))
+        return params
+
     def _make_train_step(self, group: str):
         loss_fn = self.task.loss_fns[group]
         tx = self.tx[group]
+        optim_cfg = self.task.optim_cfgs[group]
 
         def step_fn(state, batch, rng):
             params = state["params"]
@@ -136,7 +149,21 @@ class Trainer:
             metrics = dict(metrics)
             metrics["grad_norm"] = optax.global_norm(grads)
             metrics["nonfinite"] = 1.0 - finite.astype(jnp.float32)
-            new_state = {"params": new_params, "opt": new_opt,
+            new_ema = dict(state.get("ema", {}))
+            if optim_cfg.ema_decay > 0.0:
+                # LitEma semantics (ldm/modules/ema.py): shadow -= (1-d) *
+                # (shadow - p), with d ramped by update count — fused into
+                # this step's program, no extra dispatch. Decay counts
+                # trainer steps (the reference has no grad accumulation on
+                # its EMA'd recipes).
+                d = jnp.asarray(optim_cfg.ema_decay, jnp.float32)
+                if optim_cfg.ema_warmup:
+                    n = state["step"].astype(jnp.float32) + 1.0
+                    d = jnp.minimum(d, n / (9.0 + n))
+                new_ema[group] = jax.tree.map(
+                    lambda e, p: e - (1.0 - d) * (e - p),
+                    state["ema"][group], new_p_g)
+            new_state = {"params": new_params, "opt": new_opt, "ema": new_ema,
                          "step": state["step"] + (1 if group == self.groups[-1] else 0)}
             return new_state, metrics
 

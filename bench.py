@@ -270,6 +270,61 @@ def bench_train_step(iters: int = 10, batch: int = 32, tokens: int = 128,
     return 1.0 / dt, mfu
 
 
+def bench_ldm_train_step(iters: int = 5, batch: int = 16, width: int = 624,
+                         text_len: int = 77):
+    """Make-An-Audio LDM training throughput at the production config
+    (``configs/t2a/ldm.yaml``: 320-ch UNet, f8 VAE + CLAP frozen, 10 s
+    80×624 mel canvas, batch 16 — the reference's T2A trainer,
+    ddpm_audio.py:682 p_losses). Device-resident synthetic batch, steps/s +
+    MFU from XLA cost analysis."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from audiogpt_tpu.models.diffusion import VAEConfig
+    from audiogpt_tpu.train import OptimConfig, Trainer, TrainerConfig
+    from audiogpt_tpu.train.tasks import LDMTask, LDMTaskConfig
+    from audiogpt_tpu.utils.flops import peak_flops
+
+    task = LDMTask(LDMTaskConfig(
+        vae=VAEConfig(attn_resolutions=()),
+        scale_factor=0.18215,
+        optim=OptimConfig(optimizer="adamw", lr=1e-4, schedule="constant",
+                          clip_grad_norm=1.0)))
+    rng = np.random.default_rng(0)
+    b = {
+        "mels": jnp.asarray(np.tanh(rng.normal(
+            size=(batch, 80, width, 1)).astype(np.float32))),
+        "text_ids": jnp.asarray(
+            rng.integers(3, 1000, (batch, text_len)).astype(np.int32)),
+        "text_mask": jnp.ones((batch, text_len), jnp.float32),
+        "weight": jnp.ones(batch, np.float32),
+    }
+    with tempfile.TemporaryDirectory() as wd:
+        trainer = Trainer(task, TrainerConfig(
+            work_dir=wd, max_updates=1, val_check_interval=10 ** 9,
+            log_interval=10 ** 9, num_sanity_val_steps=0,
+            use_tensorboard=False))
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        krng = jax.random.PRNGKey(1)
+        state, metrics = trainer._run_step("unet", state, b, krng)  # compile
+        _host_sync(metrics[next(iter(metrics))]
+                   if isinstance(metrics, dict) else metrics)
+        flops = next(iter(trainer._compiled_steps.values()))[1]
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = trainer._run_step("unet", state, b, krng)
+            _host_sync(metrics[next(iter(metrics))]
+                       if isinstance(metrics, dict) else metrics)
+        dt = (time.perf_counter() - t0) / iters
+    mfu = None
+    pk = peak_flops()
+    if flops and pk:
+        mfu = flops / dt / pk[0]
+    return 1.0 / dt, mfu
+
+
 def bench_tts_rtf(iters: int = 10):
     """FastSpeech2 and PortaSpeech(SyntaSpeech-class) text→mel→wav RTF
     (BASELINE.json benchmark config). Wall-clock includes the text frontend;
@@ -539,6 +594,11 @@ def main():
                       "value": round(sps, 3), "unit": "steps_per_sec",
                       "vs_baseline": round(sps, 3),
                       **({"mfu": round(t_mfu, 4)} if t_mfu else {})})
+        lsps, l_mfu = bench_ldm_train_step()
+        extra.append({"metric": "ldm_train_steps_per_sec_b16",
+                      "value": round(lsps, 3), "unit": "steps_per_sec",
+                      "vs_baseline": round(lsps, 3),
+                      **({"mfu": round(l_mfu, 4)} if l_mfu else {})})
     if args.suite in ("all", "tts"):
         for name, (dt, audio) in bench_tts_rtf().items():
             extra.append({"metric": f"tts_{name}_wall_s",

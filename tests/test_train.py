@@ -154,6 +154,52 @@ def test_fs2_resume_continues(tmp_path):
     assert t2.store.latest_step() == 9
 
 
+def test_weight_ema_tracks_and_resumes(tmp_path):
+    # LitEma parity (reference ldm/modules/ema.py via ddpm.py use_ema):
+    # shadow -= (1-d) * (shadow - p) after each update; shadows checkpoint
+    # and restore with the state; ema_params() swaps them in for eval.
+    mcfg = FastSpeech2Config(
+        vocab_size=30, hidden_size=16, enc_layers=1, dec_layers=1,
+        num_heads=2, enc_ffn_kernel_size=3, dec_ffn_kernel_size=3, n_mels=20,
+        dur_predictor_layers=1, predictor_layers=1, predictor_hidden=8,
+        max_frames=32)
+    task = FS2Task(FS2TaskConfig(
+        model=mcfg, lambda_ssim=0.0,
+        optim=OptimConfig(schedule="constant", lr=2e-3,
+                          ema_decay=0.5, ema_warmup=False)))
+    tcfg = TrainerConfig(work_dir=str(tmp_path), max_updates=1,
+                         val_check_interval=1, log_interval=100,
+                         num_sanity_val_steps=0, use_tensorboard=False)
+    trainer = Trainer(task, tcfg)
+    state0 = trainer.init_state(jax.random.PRNGKey(0))
+    p0 = jax.device_get(state0["params"]["model"])
+    batch = _fs2_batch(np.random.default_rng(0))
+    state1, _ = trainer._run_step(
+        "model", state0, {k: jnp.asarray(v) for k, v in batch.items()},
+        jax.random.PRNGKey(1))
+    p1 = jax.device_get(state1["params"]["model"])
+    ema1 = jax.device_get(state1["ema"]["model"])
+    expect = jax.tree.map(lambda a, b: 0.5 * a + 0.5 * b, p0, p1)
+    for e, x in zip(jax.tree.leaves(ema1), jax.tree.leaves(expect)):
+        np.testing.assert_allclose(np.asarray(e), np.asarray(x),
+                                   rtol=1e-5, atol=1e-6)
+    # shadows differ from live params once training moved them
+    moved = any(not np.allclose(np.asarray(e), np.asarray(p))
+                for e, p in zip(jax.tree.leaves(ema1), jax.tree.leaves(p1)))
+    assert moved
+    # ema_params view swaps the tracked group only
+    view = trainer.ema_params(state1)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(view["model"])[0]),
+        np.asarray(jax.tree.leaves(ema1)[0]))
+    # checkpoint roundtrip keeps the shadows
+    trainer.store.save(1, state1, metrics={"total_loss": 1.0})
+    restored = trainer.store.restore(state1, 1)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored["ema"]["model"])[0]),
+        np.asarray(jax.tree.leaves(ema1)[0]), atol=1e-6)
+
+
 # -- vocoder GAN -----------------------------------------------------------
 
 def test_vocoder_gan_steps(tmp_path):
