@@ -258,6 +258,12 @@ def main(argv=None):
     ap.add_argument("--exp_name", required=True)
     ap.add_argument("--hparams", default="", help='dot overrides "a.b=1,c=2"')
     ap.add_argument("--max_updates", type=int, default=None)
+    ap.add_argument("--export", default=None, metavar="DIR",
+                    help="after training, write inference params (the EMA "
+                         "view when the recipe tracks shadows — the "
+                         "reference samples under ema_scope) via "
+                         "import_ckpt.save_params; load with app.py --ckpt "
+                         "or infer_cli --params")
     args = ap.parse_args(argv)
 
     cfg = load_config(args.config, overrides=args.hparams)
@@ -274,7 +280,15 @@ def main(argv=None):
         seed=cfg.get("seed", 1234))
     trainer = Trainer(task, tcfg)
     train_it, val_fn = build_loaders(cfg, cfg.get("task", "fs2"))
-    trainer.fit(train_it, val_fn)
+    state = trainer.fit(train_it, val_fn)
+    if args.export:
+        from audiogpt_tpu.import_ckpt import save_params
+
+        params = trainer.ema_params(state)
+        if len(params) == 1:  # single-group recipe: export the bare tree
+            params = params[next(iter(params))]
+        save_params(params, args.export)
+        print(f"| exported inference params -> {args.export}")
 
 
 if __name__ == "__main__":

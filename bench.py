@@ -291,7 +291,7 @@ def bench_ldm_train_step(iters: int = 5, batch: int = 16, width: int = 624,
         vae=VAEConfig(attn_resolutions=()),
         scale_factor=0.18215,
         optim=OptimConfig(optimizer="adamw", lr=1e-4, schedule="constant",
-                          clip_grad_norm=1.0)))
+                          clip_grad_norm=1.0, ema_decay=0.9999)))
     rng = np.random.default_rng(0)
     b = {
         "mels": jnp.asarray(np.tanh(rng.normal(

@@ -227,8 +227,9 @@ def _run_case(name, tmp_path, via_subprocess=False):
     exp = os.path.join(str(tmp_path), "exp")
     hparams = (f"data.binary_dir={bin_dir}," + hp +
                ",num_sanity_val_steps=0,log_interval=1,val_check_interval=50")
+    export = os.path.join(exp, "export")
     argv = ["--config", os.path.join(REPO, cfg_path), "--exp_name", exp,
-            "--max_updates", "1", "--hparams", hparams]
+            "--max_updates", "1", "--hparams", hparams, "--export", export]
     if via_subprocess:
         env = dict(os.environ)
         env["JAX_PLATFORMS"] = "cpu"
@@ -256,6 +257,11 @@ def _run_case(name, tmp_path, via_subprocess=False):
     ckpt_dir = os.path.join(exp, "ckpt")
     assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir), \
         f"{name}: no checkpoint written"
+    # exported inference params (EMA view when tracked) restore cleanly
+    from audiogpt_tpu.import_ckpt import restore_params
+
+    tree = restore_params(export)
+    assert isinstance(tree, dict) and tree, f"{name}: empty export"
 
 
 @pytest.mark.parametrize("name", sorted(CASES))
