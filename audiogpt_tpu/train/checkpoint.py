@@ -66,6 +66,21 @@ class CheckpointStore:
             state_like)
         return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
 
+    def saved_ema_groups(self, step: int) -> set[str]:
+        """Top-level ``state['ema']`` group names in the saved layout — empty
+        for checkpoints written before the trainer grew EMA state (legacy
+        {params, opt, step} trees stay resumable; trainer._restore_compat)."""
+        try:
+            meta = self._mgr.item_metadata(step)
+        except Exception:
+            return set()
+        tree = getattr(meta, "tree", None)
+        if tree is None:
+            tree = meta
+        if isinstance(tree, Mapping) and isinstance(tree.get("ema"), Mapping):
+            return set(tree["ema"].keys())
+        return set()
+
     def all_steps(self) -> list[int]:
         return list(self._mgr.all_steps())
 

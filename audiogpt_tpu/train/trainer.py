@@ -102,10 +102,33 @@ class Trainer:
         state = self.init_state()
         latest = self.store.latest_step()
         if latest is not None:
-            state = self.store.restore(state, latest)
+            state = self._restore_compat(state, latest)
             if self.logger.is_main:
                 print(f"| resumed from step {latest}")
         return state
+
+    def _restore_compat(self, state: dict[str, Any], step: int) -> dict[str, Any]:
+        """Restore tolerating EMA-layout drift: checkpoints written before a
+        recipe turned EMA on (or with different EMA'd groups) have a different
+        ``state['ema']`` subtree, which a plain Orbax StandardRestore rejects
+        with a tree-structure mismatch. Probe the saved layout, restore
+        exactly what was saved, and seed any missing EMA shadows from the
+        restored params (= what LitEma does on first construction)."""
+        try:
+            return self.store.restore(state, step)
+        except Exception:
+            saved_ema = self.store.saved_ema_groups(step)
+        target: dict[str, Any] = {k: state[k] for k in ("params", "opt", "step")}
+        if saved_ema:
+            target["ema"] = {
+                g: (state["ema"].get(g) or state["params"][g])
+                for g in saved_ema if g in state["params"]}
+        restored = self.store.restore(target, step)
+        ema = {g: restored.get("ema", {}).get(
+                   g, jax.tree.map(jnp.array, restored["params"][g]))
+               for g in state["ema"]}
+        return {"params": restored["params"], "opt": restored["opt"],
+                "ema": ema, "step": restored["step"]}
 
     # -- compiled steps ------------------------------------------------------
     def ema_params(self, state) -> dict[str, Any]:
@@ -158,8 +181,11 @@ class Trainer:
                 # its EMA'd recipes).
                 d = jnp.asarray(optim_cfg.ema_decay, jnp.float32)
                 if optim_cfg.ema_warmup:
+                    # LitEma increments num_updates BEFORE computing
+                    # (1+n)/(10+n), so with n = this update's 1-based count
+                    # the first update uses decay 2/11.
                     n = state["step"].astype(jnp.float32) + 1.0
-                    d = jnp.minimum(d, n / (9.0 + n))
+                    d = jnp.minimum(d, (n + 1.0) / (10.0 + n))
                 new_ema[group] = jax.tree.map(
                     lambda e, p: e - (1.0 - d) * (e - p),
                     state["ema"][group], new_p_g)
@@ -229,13 +255,18 @@ class Trainer:
         bank = MeterBank()
         rng = jax.random.PRNGKey(0)
         first_batch = None
+        # EMA recipes validate (and pick best-by-monitor) on the shadow
+        # weights — the reference runs validation/sampling under ema_scope
+        # (ddpm.py use_ema), and those are the weights that get exported.
+        val_params = self.ema_params(state) if state.get("ema") \
+            else state["params"]
         for i, batch in enumerate(val_batches):
             if max_batches is not None and i >= max_batches:
                 break
             batch = shard_batch(batch, self.mesh)
             if first_batch is None:
                 first_batch = batch
-            metrics = self._val_step(state["params"], batch, rng)
+            metrics = self._val_step(val_params, batch, rng)
             n = int(np.asarray(batch["weight"]).sum()) if "weight" in batch \
                 else next(iter(batch.values())).shape[0]
             bank.update(jax.device_get(metrics), n=max(n, 1))
@@ -247,7 +278,7 @@ class Trainer:
         # visualize(params, batch, rng) -> {name: (mel_pred, mel_gt|None)}
         if first_batch is not None and hasattr(self.task, "visualize"):
             try:
-                figs = self.task.visualize(state["params"], first_batch, rng)
+                figs = self.task.visualize(val_params, first_batch, rng)
                 step = int(jax.device_get(state["step"]))
                 for name, (pred, gt) in figs.items():
                     self.logger.log_mel_figure(

@@ -200,6 +200,91 @@ def test_weight_ema_tracks_and_resumes(tmp_path):
         np.asarray(jax.tree.leaves(ema1)[0]), atol=1e-6)
 
 
+def test_ema_resume_from_legacy_checkpoint(tmp_path):
+    # Checkpoints saved before the trainer grew state['ema'] (legacy
+    # {params, opt, step} layout) must still resume; missing shadows are
+    # seeded from the restored params (LitEma-on-construction semantics).
+    mcfg = FastSpeech2Config(
+        vocab_size=30, hidden_size=16, enc_layers=1, dec_layers=1,
+        num_heads=2, enc_ffn_kernel_size=3, dec_ffn_kernel_size=3, n_mels=20,
+        dur_predictor_layers=1, predictor_layers=1, predictor_hidden=8,
+        max_frames=32)
+    task = FS2Task(FS2TaskConfig(
+        model=mcfg, lambda_ssim=0.0,
+        optim=OptimConfig(schedule="constant", lr=2e-3,
+                          ema_decay=0.999, ema_warmup=True)))
+    tcfg = TrainerConfig(work_dir=str(tmp_path), use_tensorboard=False)
+    trainer = Trainer(task, tcfg)
+    full = trainer.init_state(jax.random.PRNGKey(0))
+    legacy = {k: full[k] for k in ("params", "opt", "step")}
+    legacy["step"] = jnp.asarray(7, jnp.int32)
+    trainer.store.save(7, legacy, metrics={"total_loss": 1.0})
+
+    t2 = Trainer(task, tcfg)
+    state = t2.restore_or_init()
+    assert int(jax.device_get(state["step"])) == 7
+    assert set(state["ema"]) == {"model"}
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(state["ema"]["model"])[0]),
+        np.asarray(jax.tree.leaves(state["params"]["model"])[0]), atol=1e-6)
+
+
+def test_ema_warmup_ramp_matches_litema(tmp_path):
+    # LitEma increments num_updates BEFORE computing (1+n)/(10+n): the very
+    # first update must use decay 2/11 (ldm/modules/ema.py), not 1/10.
+    mcfg = FastSpeech2Config(
+        vocab_size=30, hidden_size=16, enc_layers=1, dec_layers=1,
+        num_heads=2, enc_ffn_kernel_size=3, dec_ffn_kernel_size=3, n_mels=20,
+        dur_predictor_layers=1, predictor_layers=1, predictor_hidden=8,
+        max_frames=32)
+    task = FS2Task(FS2TaskConfig(
+        model=mcfg, lambda_ssim=0.0,
+        optim=OptimConfig(schedule="constant", lr=2e-3,
+                          ema_decay=0.9999, ema_warmup=True)))
+    trainer = Trainer(task, TrainerConfig(work_dir=str(tmp_path),
+                                          use_tensorboard=False))
+    state0 = trainer.init_state(jax.random.PRNGKey(0))
+    p0 = jax.device_get(state0["params"]["model"])
+    batch = _fs2_batch(np.random.default_rng(0))
+    state1, _ = trainer._run_step(
+        "model", state0, {k: jnp.asarray(v) for k, v in batch.items()},
+        jax.random.PRNGKey(1))
+    p1 = jax.device_get(state1["params"]["model"])
+    d = 2.0 / 11.0
+    expect = jax.tree.map(lambda a, b: d * a + (1 - d) * b, p0, p1)
+    for e, x in zip(jax.tree.leaves(jax.device_get(state1["ema"]["model"])),
+                    jax.tree.leaves(expect)):
+        np.testing.assert_allclose(np.asarray(e), np.asarray(x),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_validate_runs_on_ema_params(tmp_path):
+    # The reference validates under ema_scope when use_ema is on — the val
+    # metric (and hence best-by-monitor selection) must reflect the shadow
+    # weights, not the live ones.
+    class _ScalarTask:
+        def init_params(self, rng):
+            return {"m": {"w": jnp.zeros(())}}
+
+        @property
+        def loss_fns(self):
+            return {"m": lambda p, b, r: ((p["m"]["w"] - 3.0) ** 2, {})}
+
+        @property
+        def optim_cfgs(self):
+            return {"m": OptimConfig(schedule="constant", lr=1e-3,
+                                     ema_decay=0.5)}
+
+    trainer = Trainer(_ScalarTask(), TrainerConfig(work_dir=str(tmp_path),
+                                                   use_tensorboard=False))
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state["ema"] = {"m": {"w": jnp.asarray(3.0)}}  # shadow at the optimum
+    batch = {"x": np.zeros((8, 1), np.float32), "weight": np.ones(8, np.float32)}
+    avgs = trainer.validate(state, [batch])
+    assert avgs["total_loss"] < 1e-6, \
+        f"validate used live params, not EMA: {avgs}"
+
+
 # -- vocoder GAN -----------------------------------------------------------
 
 def test_vocoder_gan_steps(tmp_path):
