@@ -204,6 +204,36 @@ def load_engine_ckpts(engines: Mapping[str, Any], specs: list[str]) -> None:
         print(f"| loaded {name} params from {path}", flush=True)
 
 
+def load_engine_vocabs(engines: Mapping[str, Any], specs: list[str]) -> None:
+    """Apply ``ENGINE=VOCAB_PATH`` specs. Dispatch by artifact type:
+    ``set_vocab`` when the engine has one (asr → whisper BPE dir/file),
+    else ``.txt`` → BERT WordPiece vocab (CLAP/BLIP/LASSNet towers),
+    ``.gz`` → CLIP merges data, anything else → GPT-2-family BPE dir."""
+    for spec in specs:
+        name, _, path = spec.partition("=")
+        if name not in engines:
+            raise SystemExit(f"--vocab {spec}: engine {name!r} not enabled")
+        eng = engines[name]
+        if hasattr(eng, "set_vocab"):
+            eng.set_vocab(path)
+        elif hasattr(eng, "tokenizer"):
+            if path.endswith(".txt"):
+                from audiogpt_tpu.models.textenc.clap import WordPieceTokenizer
+
+                eng.tokenizer = WordPieceTokenizer(path)
+            elif path.endswith(".gz"):
+                from audiogpt_tpu.text.bpe import ClipTokenizer
+
+                eng.tokenizer = ClipTokenizer(path)
+            else:
+                from audiogpt_tpu.text.bpe import load_bpe_dir
+
+                eng.tokenizer = load_bpe_dir(path)
+        else:
+            raise SystemExit(f"--vocab {spec}: engine {name!r} takes no vocab")
+        print(f"| loaded {name} vocab from {path}", flush=True)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--engines", default="enhance",
@@ -234,6 +264,13 @@ def main(argv=None):
                     help="load an orbax params dir (import_ckpt / trainer "
                          "output) into an engine, e.g. --ckpt tts=ckpt/fs2 "
                          "(repeatable)")
+    ap.add_argument("--vocab", action="append", default=[],
+                    metavar="ENGINE=PATH",
+                    help="wire a tokenizer vocab into an engine: whisper "
+                         "BPE dir/tiktoken file for asr, BERT vocab.txt "
+                         "for t2a/tsd/extraction/i2t towers, CLIP merges "
+                         ".gz for t2i (t2i already bundles one) "
+                         "(repeatable)")
     args = ap.parse_args(argv)
 
     if args.compile_cache:
@@ -256,6 +293,7 @@ def main(argv=None):
         llm = ScriptedLLM([])  # echo/demo mode: always answers directly
     engines = build_engines(args.engines)
     load_engine_ckpts(engines, args.ckpt)
+    load_engine_vocabs(engines, args.vocab)
     if args.microbatch is not None:
         from audiogpt_tpu.serving.batcher import BatchedASR, BatchedTTS
 

@@ -42,11 +42,12 @@ class ASREngine(Engine):
     name = "asr"
 
     def __init__(self, cfg: WhisperConfig | None = None, params=None,
-                 max_tokens: int = 224, rng_seed: int = 0):
+                 max_tokens: int = 224, rng_seed: int = 0, vocab=None):
         super().__init__()
         self.cfg = cfg or WhisperConfig()
         self.model = WhisperModel(self.cfg)
         self.max_tokens = max_tokens
+        self._warned_no_vocab = False
         if params is None:
             import jax
 
@@ -54,6 +55,21 @@ class ASREngine(Engine):
             toks = jnp.zeros((1, 4), jnp.int32)
             params = self.model.init(jax.random.PRNGKey(rng_seed), mel, toks)
         self.params = params
+        if vocab is not None:
+            self.set_vocab(vocab)
+
+    def set_vocab(self, vocab) -> None:
+        """Wire a whisper BPE vocab so ``transcribe`` returns TEXT. ``vocab``
+        is a path (ckpt/tokenizer dir, ``tokenizer.json``, ``vocab.json`` or
+        ``*.tiktoken`` ranks file — `text/bpe.py load_bpe_dir`) or an
+        already-built codec / ``tokens -> str`` callable."""
+        from audiogpt_tpu.text.bpe import ByteBPE, WhisperDetokenizer, load_bpe_dir
+
+        if isinstance(vocab, str):
+            vocab = load_bpe_dir(vocab)
+        if isinstance(vocab, ByteBPE):
+            vocab = WhisperDetokenizer(vocab, eot=EOT)
+        self.text_decoder = vocab
 
     def sot_sequence(self, task: str = "translate", language: int = 0) -> list[int]:
         """The reference uses whisper's translate task (audio-chatgpt.py:1296)."""
@@ -82,6 +98,13 @@ class ASREngine(Engine):
         body = [int(t) for t in toks[prompt_len:] if int(t) < EOT]
         if dec is not None:
             return dec(body)
+        if not self._warned_no_vocab:
+            self._warned_no_vocab = True
+            from audiogpt_tpu.text.bpe import warn_fallback
+
+            warn_fallback("ASREngine",
+                          "no whisper vocab wired (set_vocab/--vocab): "
+                          "emitting raw token-id strings")
         return " ".join(str(t) for t in body)
 
     def transcribe(self, wav: np.ndarray, task: str = "translate",

@@ -74,17 +74,27 @@ class T2IEngine:
     toolset's ``t2i`` slot (text → saved PNG path)."""
 
     def __init__(self, cfg: T2IConfig | None = None, params: dict | None = None,
-                 tokenizer=None, mesh=None, media_root: str = ".",
-                 rng_seed: int = 0):
+                 tokenizer="auto", mesh=None, media_root: str = ".",
+                 rng_seed: int = 0, text_refiner=None):
         self.cfg = cfg or T2IConfig()
         self.unet = UNetModel(self.cfg.unet)
         self.vae = AutoencoderKL(self.cfg.vae)
         self.text = CLIPTextTower(self.cfg.text)
         self.schedule = DiffusionSchedule.linear(
             self.cfg.timesteps, self.cfg.linear_start, self.cfg.linear_end)
-        #: CLIP-BPE callable text → ids (vocab ships with SD ckpts; tests
-        #: and offline use feed ids). 49406/49407 = SOT/EOT.
+        #: CLIP-BPE callable text → ids. "auto" loads the bundled published
+        #: CLIP vocab (`text/bpe.py ClipTokenizer`, exact SimpleTokenizer
+        #: semantics — open_clap/tokenizer.py:68-94); pass None only to
+        #: disable deliberately (prompt is then DROPPED, with a loud warn).
+        if tokenizer == "auto":
+            from audiogpt_tpu.text.bpe import ClipTokenizer
+
+            tokenizer = ClipTokenizer()
         self.tokenizer = tokenizer
+        #: optional MagicPrompt-class GPT-2 prompt refiner (the reference
+        #: runs Gustavosta/MagicPrompt over the user prompt before SD —
+        #: audio-chatgpt.py:112-125); any callable str -> str.
+        self.text_refiner = text_refiner
         self.mesh = mesh
         self.media_root = media_root
         self._rng = jax.random.PRNGKey(rng_seed)
@@ -117,6 +127,12 @@ class T2IEngine:
 
     def _tokenize(self, texts: list[str]) -> np.ndarray:
         L, sot, eot = self.cfg.text.context_length, 49406, 49407
+        if self.tokenizer is None and any(texts):
+            from audiogpt_tpu.text.bpe import warn_fallback
+
+            warn_fallback("T2IEngine",
+                          "tokenizer disabled: prompts are DROPPED "
+                          "([SOT, EOT] conditioning only)")
         ids = np.full((len(texts), L), eot, np.int32)
         for i, t in enumerate(texts):
             toks = [sot] + (list(self.tokenizer(t))[: L - 2]
@@ -166,6 +182,8 @@ class T2IEngine:
                 scale: float = 7.5, seed: int | None = None,
                 sampler: str = "ddim") -> np.ndarray:
         """→ images [n, H, W, 3] float in [0, 1]."""
+        if self.text_refiner is not None and text:
+            text = self.text_refiner(text)
         if self.mesh is not None:
             d = self.mesh.shape["data"]
             n_samples = ((n_samples + d - 1) // d) * d

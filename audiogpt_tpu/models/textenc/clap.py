@@ -70,11 +70,22 @@ class WordPieceTokenizer:
     def __init__(self, vocab_path: str | None = None, vocab_size: int = 30522):
         self.vocab: dict[str, int] = {}
         self.vocab_size = vocab_size
+        self._warned = False
         if vocab_path:
             with open(vocab_path, encoding="utf-8") as f:
                 for i, line in enumerate(f):
                     self.vocab[line.rstrip("\n")] = i
             self.vocab_size = len(self.vocab)
+
+    def _warn_no_vocab(self):
+        if not self._warned:
+            self._warned = True
+            from audiogpt_tpu.text.bpe import warn_fallback
+
+            warn_fallback(
+                "WordPieceTokenizer",
+                "no vocab.txt loaded: hash-bucket token ids / <id> "
+                "placeholder decode")
 
     def _wordpiece(self, word: str) -> list[str]:
         if word in self.vocab:
@@ -109,6 +120,7 @@ class WordPieceTokenizer:
                          for t in self._wordpiece(w)]
             toks.append(self.vocab.get(self.SEP, 102))
         else:
+            self._warn_no_vocab()
             lo = min(1000, self.vocab_size // 4)
             span = max(1, self.vocab_size - lo - 3)
             toks = [101 % self.vocab_size] + [
@@ -124,6 +136,7 @@ class WordPieceTokenizer:
         ``convert_tokens_to_string`` semantics). Without a vocab, emits
         ``<id>`` placeholders (shape/flow testing)."""
         if not self.vocab:
+            self._warn_no_vocab()
             return " ".join(f"<{int(i)}>" for i in ids)
         inv = getattr(self, "_inv", None)
         if inv is None:

@@ -1,5 +1,8 @@
 from audiogpt_tpu.text.encoder import TokenTextEncoder, PAD, EOS, UNK, SEG  # noqa: F401
 from audiogpt_tpu.text.frontend import EnglishFrontend  # noqa: F401
+from audiogpt_tpu.text.bpe import (ByteBPE, ClipTokenizer,  # noqa: F401
+                                   WhisperDetokenizer, load_bpe_dir,
+                                   load_clip_bpe)
 
 
 def default_arpabet_vocab() -> list[str]:

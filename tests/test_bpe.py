@@ -1,0 +1,229 @@
+"""BPE tokenizer layer (text/bpe.py) — golden + oracle parity tests.
+
+Oracles: the reference's own vendored CLIP tokenizer
+(``open_clap/tokenizer.py``, loaded with a stubbed ftfy — identity on
+well-formed text) and HF's slow ``GPT2Tokenizer`` over a fixture vocab.
+"""
+
+import base64
+import importlib.util
+import json
+import os
+import sys
+import types
+import warnings
+
+import numpy as np
+import pytest
+
+from audiogpt_tpu.text.bpe import (ByteBPE, ClipTokenizer, WhisperDetokenizer,
+                                   byte_unicode_table, load_bpe_dir,
+                                   load_clip_bpe, load_gpt2_bpe,
+                                   load_hf_tokenizer_json, load_tiktoken_bpe)
+
+REF_TOK = ("/root/reference/text_to_audio/Make_An_Audio/ldm/modules/"
+           "encoders/open_clap/tokenizer.py")
+
+TEXTS = [
+    "a dog barking next to a waterfall",
+    "Hello, World!  multiple   spaces",
+    "it's 3 o'clock — don't be late...",
+    "2023 numbers 456 and symbols #@$%",
+    "CaSe FoLdInG and ellipsis… café naïve",
+    "hyphen-ated word_with_underscores",
+    "a",
+    "zzzzqqqq unusualtokenxyz",
+    "sound of rain on a tin roof, thunder in the distance",
+    "ümlaut ünïcode mixed ASCII text",
+    "emoji 🎵 music",
+]
+
+
+# -- CLIP family -----------------------------------------------------------
+
+def test_clip_bpe_goldens():
+    # ids generated once from the reference SimpleTokenizer — keeps the
+    # parity pin even without the reference tree mounted
+    tok = ClipTokenizer()
+    assert tok.bpe.vocab_size == 49408
+    assert (tok.sot, tok.eot) == (49406, 49407)
+    assert tok("a dog barking next to a waterfall") == \
+        [320, 1929, 32676, 1131, 531, 320, 16403]
+    assert tok("Hello, World!") == [3306, 267, 1002, 256]
+    assert tok("") == []
+    assert tok.decode(tok("a dog barking")) == "a dog barking"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_TOK),
+                    reason="reference tree not mounted")
+def test_clip_bpe_matches_reference_oracle():
+    ftfy = types.ModuleType("ftfy")
+    ftfy.fix_text = lambda s: s
+    ftfy.__spec__ = importlib.machinery.ModuleSpec("ftfy", loader=None)
+    added = "ftfy" not in sys.modules
+    sys.modules.setdefault("ftfy", ftfy)
+    try:
+        spec = importlib.util.spec_from_file_location("ref_clip_tok", REF_TOK)
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+
+        tok = ClipTokenizer()
+        for t in TEXTS:
+            assert tok(t) == ref._tokenizer.encode(t), t
+            assert tok.decode(tok(t)) == \
+                ref._tokenizer.decode(ref._tokenizer.encode(t)).strip(), t
+        # framed [n, 77] layout == reference tokenize()
+        np.testing.assert_array_equal(
+            tok.framed(TEXTS, 77), ref.tokenize(TEXTS, 77).numpy())
+    finally:
+        if added:
+            sys.modules.pop("ftfy", None)
+
+
+# -- GPT-2 / whisper family ------------------------------------------------
+
+FIXTURE_MERGES = [
+    ("h", "e"), ("Ġ", "t"), ("Ġt", "he"), ("i", "n"), ("r", "e"),
+    ("o", "n"), ("Ġ", "a"), ("e", "r"), ("a", "t"), ("Ġa", "t"),
+    ("e", "n"), ("Ġ", "w"), ("o", "r"), ("Ġw", "or"), ("Ġwor", "d"),
+    ("in", "g"), ("t", "ing"), ("1", "2"), ("12", "3"),
+]
+
+GPT2_TEXTS = ["the word testing 123", "The  Word!", " at the rate",
+              "don't stop", "newline\nand\ttab", "unicode Ω π",
+              "wording matter", "a", "trailing space ", "  leading"]
+
+
+def _fixture_vocab():
+    table = byte_unicode_table()
+    vocab = {table[b]: b for b in range(256)}
+    vocab = {u: i for i, u in enumerate(
+        [table[b] for b in range(256)])}
+    for a, b in FIXTURE_MERGES:
+        vocab[a + b] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    return vocab
+
+
+def _write_fixture(tmp_path):
+    vocab = _fixture_vocab()
+    vj = tmp_path / "vocab.json"
+    vj.write_text(json.dumps(vocab))
+    mt = tmp_path / "merges.txt"
+    mt.write_text("#version: 0.2\n" +
+                  "".join(f"{a} {b}\n" for a, b in FIXTURE_MERGES))
+    return vocab, str(vj), str(mt)
+
+
+def test_gpt2_bpe_matches_hf_oracle(tmp_path):
+    from transformers import GPT2Tokenizer
+
+    vocab, vj, mt = _write_fixture(tmp_path)
+    hf = GPT2Tokenizer(vj, mt)
+    mine = load_gpt2_bpe(vj, mt)
+    for t in GPT2_TEXTS:
+        assert mine.encode(t) == hf.encode(t), t
+        assert mine.decode(mine.encode(t)) == hf.decode(hf.encode(t)), t
+
+
+def test_hf_tokenizer_json_loader(tmp_path):
+    from transformers import GPT2Tokenizer
+
+    vocab, vj, mt = _write_fixture(tmp_path)
+    hf = GPT2Tokenizer(vj, mt)
+    tj = tmp_path / "tokenizer.json"
+    tj.write_text(json.dumps({
+        "model": {"vocab": vocab,
+                  "merges": [f"{a} {b}" for a, b in FIXTURE_MERGES]},
+        "added_tokens": [{"id": vocab["<|endoftext|>"],
+                          "content": "<|endoftext|>"}]}))
+    mine = load_hf_tokenizer_json(str(tj))
+    for t in GPT2_TEXTS:
+        assert mine.encode(t) == hf.encode(t), t
+    # dir auto-detect prefers tokenizer.json
+    auto = load_bpe_dir(str(tmp_path))
+    assert auto.encode(GPT2_TEXTS[0]) == hf.encode(GPT2_TEXTS[0])
+
+
+def test_tiktoken_ranks_loader(tmp_path):
+    from transformers import GPT2Tokenizer
+
+    vocab, vj, mt = _write_fixture(tmp_path)
+    hf = GPT2Tokenizer(vj, mt)
+    table = byte_unicode_table()
+    inv = {c: b for b, c in table.items()}
+    tt = tmp_path / "fixture.tiktoken"
+    with open(tt, "w") as f:
+        for tok, i in vocab.items():
+            if tok == "<|endoftext|>":
+                continue
+            raw = bytes(inv[c] for c in tok)
+            f.write(base64.b64encode(raw).decode() + f" {i}\n")
+    mine = load_tiktoken_bpe(str(tt),
+                             specials={"<|endoftext|>": vocab["<|endoftext|>"]})
+    for t in GPT2_TEXTS:
+        assert mine.encode(t) == hf.encode(t), t
+    # special tokens survive roundtrip when not skipped
+    ids = mine.encode("the<|endoftext|>word")
+    assert vocab["<|endoftext|>"] in ids
+    assert mine.decode(ids) == "theword"
+    assert "<|endoftext|>" in mine.decode(ids, skip_special=False)
+
+
+def test_whisper_detokenizer(tmp_path):
+    vocab, vj, mt = _write_fixture(tmp_path)
+    codec = load_gpt2_bpe(vj, mt)
+    det = WhisperDetokenizer(codec, eot=vocab["<|endoftext|>"])
+    ids = codec.encode("the word")
+    assert det(ids + [vocab["<|endoftext|>"], vocab["<|endoftext|>"] + 7]) \
+        == "the word"
+
+
+# -- engine wiring ---------------------------------------------------------
+
+def test_t2i_default_tokenizer_conditions_on_prompt():
+    from audiogpt_tpu.engines.t2i import T2IEngine
+
+    eng = T2IEngine.__new__(T2IEngine)  # tokenizer path only, no params
+    eng.cfg = __import__("audiogpt_tpu.engines.t2i",
+                         fromlist=["T2IConfig"]).T2IConfig()
+    eng.tokenizer = ClipTokenizer()
+    a = eng._tokenize(["a red apple"])
+    b = eng._tokenize(["a blue ocean"])
+    assert not np.array_equal(a, b), "prompt does not change the tokens"
+    assert (a[0] > 49407).sum() == 0 and (a[0][1:4] < 49406).all()
+
+    eng.tokenizer = None
+    with pytest.warns(UserWarning, match="DROPPED"):
+        c = eng._tokenize(["a red apple"])
+    assert np.array_equal(c, eng._tokenize([""]))
+
+
+def test_wordpiece_hash_fallback_warns():
+    from audiogpt_tpu.models.textenc.clap import WordPieceTokenizer
+
+    tok = WordPieceTokenizer()
+    with pytest.warns(UserWarning, match="NOT being interpreted"):
+        tok.encode("a dog", 16)
+    # once per instance
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        tok.encode("another", 16)
+
+
+def test_asr_vocab_wiring(tmp_path):
+    from audiogpt_tpu.engines.asr import ASREngine, EOT, SOT
+
+    vocab, vj, mt = _write_fixture(tmp_path)
+    eng = ASREngine.__new__(ASREngine)  # text path only, no model build
+    eng._warned_no_vocab = False
+    with pytest.warns(UserWarning, match="raw token-id"):
+        out = eng._tokens_to_text(
+            np.asarray([SOT, 50259, 50359, 50363, 5, 6]), "translate", 0)
+    assert out == "5 6"
+
+    eng.set_vocab(str(tmp_path))
+    ids = load_gpt2_bpe(vj, mt).encode("the word")
+    toks = np.asarray([SOT, 50259, 50359, 50363] + ids + [EOT])
+    # ids are < EOT in the fixture, so the body survives the filter
+    assert eng._tokens_to_text(toks, "translate", 0) == "the word"
