@@ -71,6 +71,7 @@ def convert(family: str, sd: Mapping[str, np.ndarray], cfg: Any) -> dict:
         "t5": ti.convert_t5,
         "clip_text_hf": ti.convert_clip_text_hf,
         "blip": ti.convert_blip,
+        "gpt2": ti.convert_gpt2,
     }
     if family not in table:
         raise KeyError(f"unknown family {family!r}; have {sorted(table)}")
@@ -158,6 +159,10 @@ def default_config(family: str) -> Any:
         from audiogpt_tpu.models.svs.diffsinger import DiffSingerConfig
 
         return DiffSingerConfig()
+    if family == "gpt2":
+        from audiogpt_tpu.models.textenc.gpt2 import GPT2Config
+
+        return GPT2Config()
     raise KeyError(family)
 
 

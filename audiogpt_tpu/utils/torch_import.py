@@ -1110,3 +1110,36 @@ def convert_blip(sd: Mapping[str, np.ndarray], cfg) -> dict:
             "out_ln": _ln(sd, f"{b}.output.LayerNorm"),
         }
     return {"params": {"vision": vis, "decoder": txt}}
+
+
+def convert_gpt2(sd: Mapping[str, np.ndarray], cfg) -> dict:
+    """HF ``GPT2LMHeadModel`` (e.g. ``Gustavosta/MagicPrompt-Stable-
+    Diffusion``, the reference T2I tool's prompt refiner —
+    ``audio-chatgpt.py:112-113``) → :class:`GPT2LM`.
+
+    HF's ``Conv1D`` stores weights ``[in, out]`` — already the flax Dense
+    kernel layout, so attention/MLP weights map WITHOUT the transpose every
+    ``nn.Linear`` needs. The LM head is tied to ``wte`` (no separate
+    tensor to import).
+    """
+    def _c1d(prefix):
+        return {"kernel": np.asarray(sd[f"{prefix}.weight"]).astype(np.float32),
+                "bias": np.asarray(sd[f"{prefix}.bias"]).astype(np.float32)}
+
+    p: dict = {
+        "wte": {"embedding": np.asarray(
+            sd["transformer.wte.weight"]).astype(np.float32)},
+        "wpe": np.asarray(sd["transformer.wpe.weight"]).astype(np.float32),
+        "ln_f": _ln(sd, "transformer.ln_f"),
+    }
+    for i in range(cfg.layers):
+        b = f"transformer.h.{i}"
+        p[f"h{i}"] = {
+            "ln_1": _ln(sd, f"{b}.ln_1"),
+            "c_attn": _c1d(f"{b}.attn.c_attn"),
+            "c_proj": _c1d(f"{b}.attn.c_proj"),
+            "ln_2": _ln(sd, f"{b}.ln_2"),
+            "c_fc": _c1d(f"{b}.mlp.c_fc"),
+            "mlp_proj": _c1d(f"{b}.mlp.c_proj"),
+        }
+    return {"params": p}
