@@ -23,6 +23,12 @@ property of the SAMPLERS on a fixed eps-network, not of audio quality.
 
 Run on the TPU:  python tools/sampler_equivalence.py [n_seeds]
 Prints one JSON line for BASELINE.md.
+
+``--clap`` adds the REFERENCE'S OWN acceptance metric (VERDICT r2 weak#4):
+the reference picks winners by CLAP score (``select_best_audio``,
+``audio-chatgpt.py:185-199``), so equivalence is also measured where it
+matters — per-candidate CLAP scores and best-of-3 winner agreement across
+samplers, against the cross-seed score spread as the scale reference.
 """
 
 from __future__ import annotations
@@ -33,6 +39,80 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 import jax
+
+
+def clap_equivalence(n_seeds: int = 3, sampler: str = "dpmpp",
+                     steps: int = 12, n_candidates: int = 3,
+                     prompts=("a dog barking",
+                              "rain falling on a tin roof",
+                              "a siren passing by")):
+    """Best-of-n CLAP-score equivalence: DDIM-100 vs the fast sampler on
+    identical weights/seeds, scored by the in-repo CLAPScorer (random
+    perturbed weights — the comparison is sampler-vs-sampler on a fixed
+    scoring function, not audio quality). Reports per-candidate score
+    deltas vs cross-seed spread + winner agreement."""
+    jax.config.update("jax_compilation_cache_dir", "/tmp/audiogpt_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import warnings
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audiogpt_tpu.engines.t2a import T2AConfig, T2AEngine
+    from audiogpt_tpu.engines.vocoder import VocoderEngine
+    from audiogpt_tpu.models.textenc.clap import CLAPScorer
+
+    warnings.filterwarnings("ignore", message=r"\[WordPieceTokenizer\].*")
+    voc = VocoderEngine("bigvgan", buckets=(624,))
+    scorer = CLAPScorer(sample_rate=16000)
+    eng = T2AEngine(T2AConfig(), vocoder=voc, scorer=scorer)
+
+    def perturb(params, key):
+        leaves, treedef = jax.tree.flatten(params)
+        rngs = jax.random.split(jax.random.PRNGKey(key), len(leaves))
+        return jax.tree.unflatten(treedef, [
+            l + 0.02 * jax.random.normal(r, l.shape, l.dtype)
+            if l.dtype == jnp.float32 else l
+            for l, r in zip(leaves, rngs)])
+
+    eng.params = perturb(eng.params, 7)
+    scorer.text_params = perturb(scorer.text_params, 8)
+    scorer.audio_params = perturb(scorer.audio_params, 9)
+
+    # scores[sampler_name][prompt][seed] = [n_candidates] CLAP similarities
+    scores = {"ddim": {}, sampler: {}}
+    agree = total = 0
+    for prompt in prompts:
+        for name, st in (("ddim", 100), (sampler, steps)):
+            rows = []
+            for s in range(n_seeds):
+                _, wavs = eng.txt2audio(prompt, n_samples=n_candidates,
+                                        ddim_steps=st, seed=s, sampler=name)
+                rows.append(np.asarray(scorer.score(prompt, wavs)))
+            scores[name][prompt] = rows
+        for s in range(n_seeds):
+            a = scores["ddim"][prompt][s]
+            b = scores[sampler][prompt][s]
+            agree += int(a.argmax() == b.argmax())
+            total += 1
+        print(f"prompt done: {prompt}", file=sys.stderr, flush=True)
+
+    import numpy as np
+    same = float(np.mean([np.abs(scores["ddim"][p][s] - scores[sampler][p][s])
+                          for p in prompts for s in range(n_seeds)]))
+    cross = float(np.mean([np.abs(scores["ddim"][p][i] - scores["ddim"][p][j])
+                           for p in prompts
+                           for i in range(n_seeds)
+                           for j in range(i + 1, n_seeds)]))
+    print(json.dumps({
+        "metric": f"t2a_{sampler}{steps}_vs_ddim100_clap_score",
+        "same_seed_score_delta": round(same, 5),
+        "cross_seed_score_spread": round(cross, 5),
+        "ratio": round(same / max(cross, 1e-9), 4),
+        "winner_agreement": round(agree / max(total, 1), 4),
+        "n_seeds": n_seeds, "n_prompts": len(prompts),
+        "n_candidates": n_candidates,
+    }))
 
 
 def main(n_seeds: int = 3, sampler: str = "plms", steps: int = 25):
@@ -82,5 +162,11 @@ if __name__ == "__main__":
     p.add_argument("n_seeds", nargs="?", type=int, default=3)
     p.add_argument("--sampler", default="plms")
     p.add_argument("--steps", type=int, default=25)
+    p.add_argument("--clap", action="store_true",
+                   help="CLAP-score equivalence (the reference's acceptance "
+                        "metric) instead of mel L1")
     a = p.parse_args()
-    main(a.n_seeds, a.sampler, a.steps)
+    if a.clap:
+        clap_equivalence(a.n_seeds, a.sampler, a.steps)
+    else:
+        main(a.n_seeds, a.sampler, a.steps)
