@@ -11,7 +11,8 @@ from audiogpt_tpu.data.batching import (
     ordered_indices,
 )
 from audiogpt_tpu.data.binarizer import (
-    BinarizeConfig, Item, SVSBinarizer, SVSItem, TTSBinarizer,
+    BinarizeConfig, EmotionBinarizer, Item, SVSBinarizer, SVSItem,
+    TTSBinarizer, ZhBinarizer, items_from_csv, load_emo_map,
     load_phone_encoder, load_split, load_word_encoder, mel2ph_from_durations,
 )
 from audiogpt_tpu.data.loader import (ArrayDataLoader, TTSDataLoader,
@@ -25,7 +26,8 @@ from audiogpt_tpu.data.textgrid import (is_sil_phoneme, mel2ph_from_textgrid,
 __all__ = [
     "BucketSpec", "EndlessSampler", "batch_by_size", "collate_1d",
     "collate_2d", "ordered_indices", "BinarizeConfig", "Item",
-    "TTSBinarizer", "SVSBinarizer", "SVSItem", "load_phone_encoder",
+    "TTSBinarizer", "SVSBinarizer", "SVSItem", "EmotionBinarizer",
+    "ZhBinarizer", "items_from_csv", "load_emo_map", "load_phone_encoder",
     "load_split", "load_word_encoder",
     "mel2ph_from_durations", "ArrayDataLoader", "TTSDataLoader",
     "VocoderDataLoader", "collate_audio_text", "collate_mel_image",

@@ -75,6 +75,9 @@ class Item:
     #: MFA TextGrid — a path or the raw file text (reference
     #: base_binarizer.py:188 get_align); used when ``durations`` is absent
     textgrid: str | None = None
+    #: emotion tag (reference ``EmotionBinarizer.item2emo`` default,
+    #: base_binarizer_emotion.py:57) — consumed by :class:`EmotionBinarizer`
+    emotion: str = "Neutral"
 
 
 def mel2ph_from_durations(durations: Sequence[int], n_frames: int) -> np.ndarray:
@@ -350,3 +353,152 @@ def load_word_encoder(out_dir: str) -> TokenTextEncoder:
     """Word vocab written by ``with_words``/``with_graph`` binarization
     (reference: ``word_set.json``, tasks/tts/ps.py:21)."""
     return TokenTextEncoder.from_file(os.path.join(out_dir, "word_set.json"))
+
+
+class EmotionBinarizer(TTSBinarizer):
+    """Emotion-tagged binarization — the GenerSpeech data path.
+
+    Reference ``EmotionBinarizer`` (``data_gen/tts/base_binarizer_emotion.py:
+    28``): items carry an emotion label (default "Neutral"), a sorted
+    ``emo_map.json`` maps label → id, and each record stores the categorical
+    ``emo_id`` next to the speaker id. The reference additionally runs two
+    external embedding nets (resemblyzer speaker + emotion-encoder ckpts);
+    here those are the built-in global style encoder — turn on
+    ``with_style_embed`` to store ``spk_embed``/``emo_embed`` (the
+    substitution documented at ``models/tts/generspeech.py:19-21``)."""
+
+    def __init__(self, cfg: BinarizeConfig | None = None, **kw):
+        cfg = cfg or BinarizeConfig(with_style_embed=True)
+        super().__init__(cfg, **kw)
+        self._emo_map: dict[str, int] = {}
+
+    def build_emo_map(self, items: Iterable[Item]) -> dict[str, int]:
+        emos = sorted({getattr(it, "emotion", "Neutral") for it in items})
+        return {e: i for i, e in enumerate(emos)}
+
+    def process_item(self, it, enc, spk_map):
+        rec = super().process_item(it, enc, spk_map)
+        if rec is not None:
+            rec["emo_id"] = int(self._emo_map.get(
+                getattr(it, "emotion", "Neutral"), 0))
+        return rec
+
+    def binarize(self, items: Sequence[Item], out_dir: str) -> dict[str, int]:
+        os.makedirs(out_dir, exist_ok=True)
+        self._emo_map = self.build_emo_map(items)
+        with open(os.path.join(out_dir, "emo_map.json"), "w") as f:
+            json.dump(self._emo_map, f)
+        return super().binarize(items, out_dir)
+
+
+def load_emo_map(out_dir: str) -> dict[str, int]:
+    with open(os.path.join(out_dir, "emo_map.json")) as f:
+        return json.load(f)
+
+
+class ZhBinarizer(TTSBinarizer):
+    """Chinese binarization with the reference's duration post-processing
+    (``data_gen/tts/binarizer_zh.py:12 ZhBinarizer.get_align``):
+
+      1. separator/punctuation phones donate their leading VOICED frames to
+         the preceding final (韵母) — pauses start where voicing stops — and
+         collapse into it entirely when what remains is below a threshold;
+      2. an initial (声母) and its following final split their combined
+         duration evenly.
+
+    Phones come from :class:`audiogpt_tpu.text.zh.ZhTTSFrontend` (initials
+    list = ``text/zh.py INITIALS``, the counterpart of the reference's
+    ``ALL_SHENMU``)."""
+
+    #: rule-1 collapse threshold in frames (reference uses a hard 100,
+    #: binarizer_zh.py:33)
+    min_sep_frames: int = 100
+
+    def __init__(self, cfg: BinarizeConfig | None = None, frontend=None, **kw):
+        if frontend is None:
+            from audiogpt_tpu.text.zh import ZhTTSFrontend
+
+            frontend = ZhTTSFrontend()
+        super().__init__(cfg, frontend=frontend, **kw)
+
+    def _fix_durations(self, dur: np.ndarray, phones: Sequence[str],
+                       f0: np.ndarray) -> np.ndarray:
+        from audiogpt_tpu.text.zh import INITIALS
+
+        dur = np.asarray(dur, np.int64).copy()
+        initials = set(INITIALS)
+        # rule 1: separators give leading voiced frames back to the final
+        ends = np.cumsum(dur)
+        starts = ends - dur
+        for i, p in enumerate(phones):
+            if i == 0 or p[0] == "<" or p[0].isalnum():
+                continue
+            seg = f0[starts[i]:ends[i]]
+            j = 0
+            while j < len(seg) and seg[j] != 0:
+                j += 1
+            dur[i - 1] += j
+            dur[i] -= j
+            if dur[i] < self.min_sep_frames:
+                dur[i - 1] += dur[i]
+                dur[i] = 0
+        # rule 2: initial + following final share their total evenly
+        for i, p in enumerate(phones[:-1]):
+            if p in initials and dur[i] > 0:
+                nxt = phones[i + 1]
+                if nxt[0].isalpha() and nxt not in initials:
+                    total = dur[i] + dur[i + 1]
+                    dur[i] = total // 2
+                    dur[i + 1] = total - dur[i]
+        return dur
+
+    def process_item(self, it, enc, spk_map):
+        rec = super().process_item(it, enc, spk_map)
+        if rec is None or "mel2ph" not in rec or "f0" not in rec:
+            return rec
+        phones = rec["ph"].split(" ")
+        dur = rec.get("dur")
+        if dur is None:
+            dur = np.bincount(rec["mel2ph"],
+                              minlength=len(phones) + 1)[1:len(phones) + 1]
+        dur = self._fix_durations(np.asarray(dur), phones, rec["f0"])
+        rec["dur"] = dur.astype(np.int32)
+        rec["mel2ph"] = mel2ph_from_durations(dur, rec["mel"].shape[0])
+        return rec
+
+
+def items_from_csv(csv_path: str, wav_loader=None, sr: int = 22050,
+                   textgrid_dir: str | None = None) -> list[Item]:
+    """Reference metadata layout → :class:`Item` list.
+
+    ``metadata_phone.csv`` columns (base_binarizer_emotion.py:44-57):
+    ``item_name, txt, ph, wav_fn[, spk_name][, others]`` where ``others``
+    is the emotion tag; TextGrids live at ``{textgrid_dir}/{item}.TextGrid``.
+    ``wav_loader(path) -> np.ndarray`` defaults to the in-repo wav reader.
+    """
+    import csv
+
+    if wav_loader is None:
+        from audiogpt_tpu.utils.audio_io import load_wav
+
+        def wav_loader(p):
+            wav, _ = load_wav(p, sr=sr)
+            return wav
+
+    items: list[Item] = []
+    with open(csv_path, newline="", encoding="utf-8") as f:
+        for row in csv.DictReader(f):
+            name = row["item_name"]
+            tg = None
+            if textgrid_dir is not None:
+                cand = os.path.join(textgrid_dir, f"{name}.TextGrid")
+                tg = cand if os.path.exists(cand) else None
+            items.append(Item(
+                name=name,
+                wav=np.asarray(wav_loader(row["wav_fn"]), np.float32),
+                text=row.get("txt") or None,
+                phones=(row["ph"].split(" ") if row.get("ph") else None),
+                spk=row.get("spk_name") or "SPK1",
+                emotion=(row.get("others") or "Neutral").strip('"'),
+                textgrid=tg))
+    return items

@@ -101,6 +101,16 @@ def collate_tts(samples: list[dict[str, Any]], spec: BucketSpec | None,
                 pad_w = word_len - a.shape[1]
                 adjs.append(np.pad(a, ((0, 0), (0, pad_w), (0, pad_w))))
             batch["graph_adj"] = pad_rows(np.stack(adjs))
+    if "emo_id" in samples[0]:
+        # categorical emotion label (EmotionBinarizer, the reference's
+        # base_binarizer_emotion.py emo_map)
+        batch["emo_ids"] = pad_rows(np.asarray(
+            [s["emo_id"] for s in samples], np.int32))
+    for key in ("spk_embed", "emo_embed"):
+        # fixed-size style vectors (with_style_embed binarization)
+        if key in samples[0]:
+            batch[key] = pad_rows(np.stack(
+                [np.asarray(s[key], np.float32) for s in samples]))
     if "spec" in samples[0]:
         # linear spectrogram frames (VISinger posterior input), same frame
         # axis as the mel

@@ -398,3 +398,89 @@ def test_svs_binarizer_to_diffsinger_step(tmp_path):
 
     state = Trainer(task, tcfg).fit(gen())
     assert int(jax.device_get(state["step"])) == 2
+
+
+# -- emotion / zh binarizers (reference base_binarizer_emotion.py:28,
+# binarizer_zh.py:12) -------------------------------------------------------
+
+def test_emotion_binarizer(tmp_path):
+    from audiogpt_tpu.data import EmotionBinarizer, load_emo_map
+
+    items = _toy_items(8)
+    for i, it in enumerate(items):
+        it.emotion = ["Neutral", "Happy", "Sad", "Angry"][i % 4]
+    out = str(tmp_path / "bin")
+    cfg = BinarizeConfig(with_f0=True, with_style_embed=True)
+    counts = EmotionBinarizer(cfg).binarize(items, out)
+    assert counts["train"] >= 1
+
+    emo_map = load_emo_map(out)
+    assert emo_map == {"Angry": 0, "Happy": 1, "Neutral": 2, "Sad": 3}
+    ds = load_split(out, "train")
+    recs = [ds[i] for i in range(len(ds))]
+    assert {int(r["emo_id"]) for r in recs} <= set(emo_map.values())
+    assert len({int(r["emo_id"]) for r in recs}) > 1
+    assert recs[0]["emo_embed"].shape == recs[0]["spk_embed"].shape
+
+    # collate passes the emotion fields through with static shapes
+    batch = collate_tts(recs[:3], None, n_mels=80)
+    assert batch["emo_ids"].shape == (3,)
+    assert batch["emo_embed"].shape[0] == 3
+
+
+def test_zh_binarizer_duration_rules(tmp_path):
+    from audiogpt_tpu.data import ZhBinarizer
+
+    zb = ZhBinarizer(BinarizeConfig(with_f0=True))
+    # rule 1: separator's leading VOICED frames go to the previous final,
+    # remainder >= threshold survives; rule 2: initial+final split evenly
+    phones = ["x", "iao3", "|"]
+    dur = np.asarray([10, 20, 120])
+    f0 = np.concatenate([np.full(30, 200.0),        # x + iao3 voiced
+                         np.full(5, 180.0),         # separator leading voiced
+                         np.zeros(115)])
+    fixed = zb._fix_durations(dur, phones, f0)
+    assert fixed.sum() == dur.sum()
+    assert fixed[2] == 115                          # kept (>= 100 frames)
+    assert fixed[0] + fixed[1] == 35 and abs(int(fixed[0]) - int(fixed[1])) <= 1
+
+    # short separator collapses entirely into the final
+    fixed2 = zb._fix_durations(np.asarray([10, 20, 60]), phones,
+                               np.concatenate([np.full(30, 200.0),
+                                               np.zeros(60)]))
+    assert fixed2[2] == 0 and fixed2.sum() == 90
+
+    # end-to-end: hanzi text through ZhTTSFrontend → record with rebuilt
+    # consistent mel2ph
+    sr = 22050
+    t = np.arange(int(sr * 0.6)) / sr
+    wav = (0.3 * np.sin(2 * np.pi * 180 * t)).astype(np.float32)
+    items = [Item(name=f"zh{i}", wav=wav, text="你好世界。") for i in range(3)]
+    out = str(tmp_path / "binzh")
+    counts = zb.binarize(items, out)
+    ds = load_split(out, "train")
+    rec = ds[0]
+    phs = rec["ph"].split(" ")
+    assert any(p in ("n", "h", "sh", "j") for p in phs)  # initials present
+    if "mel2ph" in rec:
+        assert rec["mel2ph"].max() <= len(phs)
+
+
+def test_items_from_csv(tmp_path):
+    from audiogpt_tpu.data import items_from_csv
+
+    wavs = {}
+    for n in ("a1", "a2"):
+        p = str(tmp_path / f"{n}.npy")
+        np.save(p, np.zeros(100, np.float32))
+        wavs[n] = p
+    csv_path = str(tmp_path / "metadata_phone.csv")
+    with open(csv_path, "w") as f:
+        f.write("item_name,txt,ph,wav_fn,spk_name,others\n")
+        f.write(f'a1,hello,HH AH0 L OW1,{wavs["a1"]},spkA,"Happy"\n')
+        f.write(f'a2,world,W ER1 L D,{wavs["a2"]},,\n')
+    items = items_from_csv(csv_path, wav_loader=lambda p: np.load(p))
+    assert [it.name for it in items] == ["a1", "a2"]
+    assert items[0].phones == ["HH", "AH0", "L", "OW1"]
+    assert items[0].emotion == "Happy" and items[0].spk == "spkA"
+    assert items[1].emotion == "Neutral" and items[1].spk == "SPK1"

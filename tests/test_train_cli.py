@@ -272,3 +272,51 @@ def test_train_cli_recipe(name, tmp_path):
 def test_train_cli_module_entry(tmp_path):
     """One recipe through the real ``python -m audiogpt_tpu.train_cli``."""
     _run_case("fs2", tmp_path, via_subprocess=True)
+
+
+def test_generspeech_trains_from_emotion_binarizer(tmp_path):
+    """The reference's emotion data path end-to-end (VERDICT r2 missing#3):
+    EmotionBinarizer over an emotion-tagged fixture set (emo_map.json,
+    per-item emo_id, built-in style embeds) → the GenerSpeech recipe trains
+    a step via train_cli from that binary_dir."""
+    import json as _json
+
+    from audiogpt_tpu.data import EmotionBinarizer, Item, load_emo_map
+    from audiogpt_tpu.data.binarizer import BinarizeConfig
+
+    sr = 22050
+    rng = np.random.default_rng(0)
+    items = []
+    for i in range(10):
+        t = np.arange(int(sr * (0.3 + 0.05 * (i % 3)))) / sr
+        wav = (0.3 * np.sin(2 * np.pi * (160 + 15 * (i % 4)) * t)
+               + 0.01 * rng.normal(size=len(t))).astype(np.float32)
+        items.append(Item(name=f"esd{i}", wav=wav,
+                          text=["hello world", "a lazy dog"][i % 2],
+                          spk=f"spk{i % 2}",
+                          emotion=["Neutral", "Happy", "Sad"][i % 3]))
+    bin_dir = os.path.join(str(tmp_path), "bin")
+    counts = EmotionBinarizer(BinarizeConfig(
+        with_f0=True, with_style_embed=True)).binarize(items, bin_dir)
+    assert counts["train"] >= 4
+    assert set(load_emo_map(bin_dir)) == {"Neutral", "Happy", "Sad"}
+
+    from audiogpt_tpu import train_cli
+
+    exp = os.path.join(str(tmp_path), "exp")
+    hp = (f"data.binary_dir={bin_dir},"
+          "model.fs2.vocab_size=120,model.fs2.hidden_size=16,"
+          "model.fs2.enc_layers=1,model.fs2.dec_layers=1,model.fs2.num_heads=2,"
+          "model.fs2.enc_ffn_kernel_size=3,model.fs2.dec_ffn_kernel_size=3,"
+          "model.fs2.dur_predictor_layers=1,model.fs2.predictor_layers=1,"
+          "model.fs2.predictor_hidden=8,model.fs2.max_frames=128,"
+          "model.n_vq=4,model.emb_dim=8,model.glow_hidden=8,model.glow_steps=2,"
+          "model.glow_wn_layers=1,loss.lambda_ssim=0.0,"
+          "optim.schedule=constant,optim.lr=0.001,"
+          "num_sanity_val_steps=0,log_interval=1,val_check_interval=50")
+    train_cli.main(["--config", os.path.join(REPO, "configs/tts/generspeech.yaml"),
+                    "--exp_name", exp, "--max_updates", "1", "--hparams", hp])
+    tr = [_json.loads(l) for l in open(os.path.join(exp, "metrics.jsonl"))
+          if _json.loads(l)["prefix"] == "tr"]
+    assert tr and all(np.isfinite(v) for v in tr[-1].values()
+                      if isinstance(v, float))
