@@ -193,13 +193,25 @@ def build_engines(names: Mapping[str, Any] | list[str] | str = "all"
 
 def load_engine_ckpts(engines: Mapping[str, Any], specs: list[str]) -> None:
     """Apply ``ENGINE=ORBAX_DIR`` checkpoint specs (import_ckpt / trainer
-    output) to constructed engines."""
+    output) to constructed engines. The special name ``t2i_refiner`` builds
+    the MagicPrompt GPT-2 prompt refiner (``audio-chatgpt.py:112-125``) from
+    a ``gpt2``-family params dir whose vocab files sit alongside it."""
     for spec in specs:
         name, _, path = spec.partition("=")
-        if name not in engines:
-            raise SystemExit(f"--ckpt {spec}: engine {name!r} not enabled")
         from audiogpt_tpu.import_ckpt import restore_params
 
+        if name == "t2i_refiner":
+            if "t2i" not in engines:
+                raise SystemExit(f"--ckpt {spec}: t2i engine not enabled")
+            from audiogpt_tpu.models.textenc.gpt2 import MagicPromptRefiner
+            from audiogpt_tpu.text.bpe import load_bpe_dir
+
+            engines["t2i"].text_refiner = MagicPromptRefiner(
+                params=restore_params(path), codec=load_bpe_dir(path))
+            print(f"| loaded t2i prompt refiner from {path}", flush=True)
+            continue
+        if name not in engines:
+            raise SystemExit(f"--ckpt {spec}: engine {name!r} not enabled")
         engines[name].params = restore_params(path)
         print(f"| loaded {name} params from {path}", flush=True)
 

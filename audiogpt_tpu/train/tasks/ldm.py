@@ -36,6 +36,11 @@ class LDMTaskConfig:
     loss_type: str = "l2"             # ddpm_audio.py default
     cond_drop_prob: float = 0.1       # classifier-free guidance training
     train_cond_stage: bool = False    # reference freezes CLAP
+    #: mixed precision: run the UNet forward+backward in bfloat16 (params
+    #: cast inside the loss; master weights, optimizer state, GroupNorm
+    #: stats and the loss itself stay f32). Halves activation HBM traffic —
+    #: the training-side twin of T2AConfig.unet_bf16.
+    bf16_compute: bool = False
     optim: OptimConfig = OptimConfig(
         optimizer="adamw", lr=1e-4, schedule="constant", beta1=0.9,
         beta2=0.999, clip_grad_norm=1.0,
@@ -90,7 +95,17 @@ class LDMTask:
         t = jax.random.randint(k_t, (b,), 0, cfg.timesteps)
         noise = jax.random.normal(k_noise, z0.shape)
         z_t = self.schedule.q_sample(z0, t, noise)
-        eps = self.unet.apply(params["unet"], z_t, t, ctx)
+        unet_p = params["unet"]
+        if cfg.bf16_compute:
+            # cast-in-loss mixed precision: grads flow through the cast back
+            # to the f32 masters; GroupNorm recomputes its stats in f32
+            # internally (unet.py GroupNorm32)
+            unet_p = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, unet_p)
+            z_t = z_t.astype(jnp.bfloat16)
+            ctx = ctx.astype(jnp.bfloat16)
+        eps = self.unet.apply(unet_p, z_t, t, ctx).astype(jnp.float32)
 
         err = (eps - noise) ** 2 if cfg.loss_type == "l2" \
             else jnp.abs(eps - noise)

@@ -52,7 +52,8 @@ def test_overfit_vocoder_gan_sine(tmp_path):
     sine = (0.4 * np.sin(2 * np.pi * 250.0 * t)).astype(np.float32)
     cond = np.random.default_rng(0).normal(
         size=(1, frames, 20)).astype(np.float32)  # fixed conditioning
-    batch = {"mels": cond, "wav": sine[None]}
+    # batch of 8 copies: the trainer shards over the 8-device test mesh
+    batch = {"mels": np.repeat(cond, 8, 0), "wav": np.repeat(sine[None], 8, 0)}
 
     trainer = Trainer(task, TrainerConfig(
         work_dir=str(tmp_path), max_updates=400, val_check_interval=10_000,
@@ -93,10 +94,11 @@ def test_overfit_fs2_artifact(tmp_path):
     ph_mel = np.stack([np.sin(np.arange(n_mels) * (0.3 + 0.11 * p))
                        for p in tokens[0]]).astype(np.float32)  # [toks, M]
     mels = ph_mel[mel2ph[0] - 1][None]                          # [1, F, M]
-    batch = {"txt_tokens": tokens, "mel2ph": mel2ph, "mels": mels,
-             "f0": np.zeros((1, frames), np.float32),
-             "uv": np.zeros((1, frames), np.float32),
-             "weight": np.ones(1, np.float32)}
+    r8 = lambda x: np.repeat(x, 8, 0)   # shardable over the 8-device mesh
+    batch = {"txt_tokens": r8(tokens), "mel2ph": r8(mel2ph), "mels": r8(mels),
+             "f0": np.zeros((8, frames), np.float32),
+             "uv": np.zeros((8, frames), np.float32),
+             "weight": np.ones(8, np.float32)}
 
     trainer = Trainer(task, TrainerConfig(
         work_dir=str(tmp_path), max_updates=400, val_check_interval=10_000,
@@ -155,10 +157,10 @@ def test_overfit_ldm_artifact(tmp_path):
     # one fixed 16x16 mel image; cond_drop 1.0 → fully unconditional model
     xx, yy = np.meshgrid(np.linspace(-1, 1, 16), np.linspace(-1, 1, 16))
     target = (0.8 * np.sin(3 * xx) * np.cos(2 * yy)).astype(np.float32)
-    batch = {"mels": target[None, :, :, None],
-             "text_ids": np.zeros((1, 8), np.int32),
-             "text_mask": np.ones((1, 8), np.int32),
-             "weight": np.ones(1, np.float32)}
+    batch = {"mels": np.repeat(target[None, :, :, None], 8, 0),
+             "text_ids": np.zeros((8, 8), np.int32),
+             "text_mask": np.ones((8, 8), np.int32),
+             "weight": np.ones(8, np.float32)}
 
     trainer = Trainer(task, TrainerConfig(
         work_dir=str(tmp_path), max_updates=500, val_check_interval=10_000,
