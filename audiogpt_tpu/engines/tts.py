@@ -10,9 +10,11 @@ FastSpeech2-class text→mel→wav pipeline.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import itertools
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from audiogpt_tpu.registry import ENGINES
@@ -83,7 +85,10 @@ def synthesize_long(engine, text: str, gap_sec: float = 0.1) -> np.ndarray:
         return max_words is None or len(pt.words) + 2 <= max_words
 
     chunks = split_for_buckets(engine.frontend, text, fits)
-    wavs = [engine.vocoder(engine.text_to_mel(c)) for c in chunks]
+    if getattr(engine, "_fused_ok", False):
+        wavs = [engine.synthesize_chunk(c) for c in chunks]
+    else:
+        wavs = [engine.vocoder(engine.text_to_mel(c)) for c in chunks]
     if len(wavs) == 1:
         return wavs[0]
     gap = np.zeros(int(gap_sec * engine.sample_rate), np.float32)
@@ -144,6 +149,45 @@ class TTSEngine(Engine):
         nz = np.nonzero(np.abs(mel).sum(-1) > 0)[0]
         end = int(nz[-1]) + 1 if len(nz) else 1
         return mel[:end]
+
+    @property
+    def _fused_ok(self) -> bool:
+        """Fused text→mel→wav applies to vocoders with a plain mel→wav
+        forward (no NSF f0 input, no noise input)."""
+        v = self.vocoder
+        return (v.kind == "hifigan" and not getattr(v.cfg, "use_nsf", False)) \
+            or v.kind == "bigvgan"
+
+    @functools.cached_property
+    def _fused_fn(self):
+        """FS2 + full-canvas vocoder in ONE jit program emitting int16 wav +
+        the valid frame count. On the TPU tunnel each extra dispatch and
+        every downloaded byte dominates the compute they wrap (the same
+        lesson as T2A's `_sample_vocode_fn`): one roundtrip, half-width
+        samples, and the mel never leaves the device."""
+        voc = self.vocoder
+
+        @jax.jit
+        def run(p, vp, toks):
+            out = self.model.apply(p, toks, infer=True)
+            n = jnp.maximum((out["mel2ph"] > 0).sum(axis=1), 1)     # [B]
+            wav = voc.model.apply(vp, out["mel_out"])
+            if wav.ndim == 3:
+                wav = wav[..., 0]
+            wav16 = jnp.clip(wav * 32767.0, -32768.0, 32767.0
+                             ).astype(jnp.int16)
+            return wav16, n.astype(jnp.int32)
+
+        return run
+
+    def synthesize_chunk(self, text: str) -> np.ndarray:
+        """One bucketed chunk through the fused program; only the valid
+        int16 samples cross the host boundary."""
+        ids = np.asarray(self.frontend.encode(text), np.int32)
+        padded, _ = self.bucketer.pad_to_bucket(ids[None], axis=1)
+        wav16, n = self._fused_fn(self.params, self.vocoder.params, padded)
+        end = int(n[0]) * self.vocoder.hop_size
+        return np.asarray(wav16[0, :end]).astype(np.float32) / 32767.0
 
     def __call__(self, text: str) -> np.ndarray:
         """text → waveform (vocoder sample rate); long inputs are chunked

@@ -369,7 +369,7 @@ def bench_tts_rtf(iters: int = 10):
     dp["kernel"] = dp["kernel"] * 0.0
     dp["bias"] = dp["bias"] * 0.0 + float(np.log(7.0))  # exp(b)-1 = 6 f/p
     eng.params = p
-    wav = eng(text)  # compile + warm
+    wav = eng(text)  # compile + warm (fused text→mel→wav program)
     t0 = _t.perf_counter()
     secs = 0.0
     for _ in range(iters):
@@ -377,6 +377,21 @@ def bench_tts_rtf(iters: int = 10):
         secs += len(wav) / sr
     dt = (_t.perf_counter() - t0) / iters
     out["fs2_trained_op"] = (dt, secs / iters)
+
+    # on-chip compute RTF: same fused program, host-sync ONE int16 sample
+    # per call (the headline vocoder bench's sync recipe) so the tunnel's
+    # clip download is excluded — this is the number a local-TPU deployment
+    # sees
+    ids = np.asarray(eng.frontend.encode(text), np.int32)
+    padded, _ = eng.bucketer.pad_to_bucket(ids[None], axis=1)
+    wav16, nfr = eng._fused_fn(eng.params, eng.vocoder.params, padded)
+    audio_s = int(nfr[0]) * eng.vocoder.hop_size / sr
+    t0 = _t.perf_counter()
+    for _ in range(iters):
+        wav16, nfr = eng._fused_fn(eng.params, eng.vocoder.params, padded)
+        int(wav16[0, 0])
+    dt = (_t.perf_counter() - t0) / iters
+    out["fs2_trained_op_compute"] = (dt, audio_s)
     return out
 
 

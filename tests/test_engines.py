@@ -87,6 +87,32 @@ class TestTTSEngine:
         assert np.isfinite(wav).all()
         assert eng.sample_rate == 22050
 
+    def test_fused_chunk_matches_separate_programs(self):
+        # text→mel→wav in ONE jit program (int16 out, on-device trim) must
+        # match the two-program path within int16 quantization
+        from audiogpt_tpu.engines.tts import TTSEngine
+        from audiogpt_tpu.engines.vocoder import VocoderEngine
+        from audiogpt_tpu.models.tts import FastSpeech2Config
+        from audiogpt_tpu.models.vocoder import HifiGANConfig
+
+        voc = VocoderEngine(
+            "hifigan",
+            HifiGANConfig(upsample_initial_channel=32,
+                          resblock_kernel_sizes=(3,),
+                          resblock_dilation_sizes=((1, 3),)),
+            buckets=(64, 128))
+        eng = TTSEngine(
+            cfg=FastSpeech2Config(vocab_size=128, hidden_size=32,
+                                  enc_layers=1, dec_layers=1,
+                                  predictor_layers=2, max_frames=128),
+            vocoder=voc, token_buckets=(32,))
+        assert eng._fused_ok
+        fused = eng.synthesize_chunk("hello world")
+        ref = voc(eng.text_to_mel("hello world"))
+        n = min(len(fused), len(ref))
+        assert n > 0
+        np.testing.assert_allclose(fused[:n], ref[:n], atol=2e-4)
+
 
 class TestT2AEngine:
     @staticmethod
