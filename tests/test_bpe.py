@@ -227,3 +227,34 @@ def test_asr_vocab_wiring(tmp_path):
     toks = np.asarray([SOT, 50259, 50359, 50363] + ids + [EOT])
     # ids are < EOT in the fixture, so the body survives the filter
     assert eng._tokens_to_text(toks, "translate", 0) == "the word"
+
+
+def test_app_vocab_wiring_dispatch(tmp_path):
+    from audiogpt_tpu.app import load_engine_vocabs
+
+    class _WithSetVocab:
+        def set_vocab(self, path):
+            self.got = path
+
+    class _WithTokenizer:
+        tokenizer = None
+
+    vocab, vj, mt = _write_fixture(tmp_path)
+    a, b = _WithSetVocab(), _WithTokenizer()
+    vocab_txt = tmp_path / "vocab.txt"
+    vocab_txt.write_text("[PAD]\n[CLS]\n[SEP]\nhello\nworld\n")
+    load_engine_vocabs({"asr": a, "t2a": b},
+                       [f"asr={tmp_path}", f"t2a={vocab_txt}"])
+    assert a.got == str(tmp_path)
+    from audiogpt_tpu.models.textenc.clap import WordPieceTokenizer
+
+    assert isinstance(b.tokenizer, WordPieceTokenizer)
+    assert b.tokenizer.vocab["hello"] == 3
+
+    c = _WithTokenizer()
+    load_engine_vocabs({"t2i": c}, [f"t2i={tmp_path}"])  # dir → BPE codec
+    assert c.tokenizer.encode("the word") == \
+        load_gpt2_bpe(vj, mt).encode("the word")
+
+    with pytest.raises(SystemExit):
+        load_engine_vocabs({}, ["nope=/x"])
