@@ -243,6 +243,13 @@ def load_engine_vocabs(engines: Mapping[str, Any], specs: list[str]) -> None:
                 eng.tokenizer = load_bpe_dir(path)
         else:
             raise SystemExit(f"--vocab {spec}: engine {name!r} takes no vocab")
+        # propagate into an attached CLAP scorer (t2a best-of-n ranking —
+        # the reference's acceptance metric, audio-chatgpt.py:185-199 —
+        # tokenizes through scorer.tokenizer, not the engine's)
+        scorer = getattr(eng, "scorer", None)
+        if (scorer is not None and hasattr(scorer, "tokenizer")
+                and hasattr(eng, "tokenizer")):
+            scorer.tokenizer = eng.tokenizer
         print(f"| loaded {name} vocab from {path}", flush=True)
 
 

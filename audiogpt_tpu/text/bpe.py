@@ -264,8 +264,11 @@ def load_gpt2_bpe(vocab_json: str, merges_txt: str | None = None,
     if merges_txt and os.path.exists(merges_txt):
         with open(merges_txt, encoding="utf-8") as f:
             lines = [l.rstrip("\n") for l in f]
-        merges = [tuple(l.split()) for l in lines
-                  if l and not l.startswith("#") and len(l.split()) == 2]
+        # HF semantics: only the FIRST line is a header ('#version: ...').
+        # '#'-prefixed lines elsewhere are real merges ('# #' -> '##').
+        if lines and lines[0].startswith("#version"):
+            lines = lines[1:]
+        merges = [tuple(l.split()) for l in lines if len(l.split()) == 2]
     specials = dict(added_tokens or {})
     for tok in ("<|endoftext|>", "<|startoftranscript|>"):
         if tok in encoder:

@@ -160,7 +160,11 @@ class SentencePieceUnigram:
         j = n
         while j > 0:
             i, pid = back[j]
-            ids.append(pid)
+            # sentencepiece fuses consecutive unknown chars into ONE unk
+            # token (HF tokenizers.Unigram agrees); without this an OOV run
+            # emits one unk per char and diverges from the T5Tokenizer.
+            if not (pid == self.unk_id and ids and ids[-1] == self.unk_id):
+                ids.append(pid)
             j = i
         return ids[::-1]
 

@@ -116,14 +116,19 @@ class Trainer:
         restored params (= what LitEma does on first construction)."""
         try:
             return self.store.restore(state, step)
-        except Exception:
+        except Exception as first_err:
             saved_ema = self.store.saved_ema_groups(step)
         target: dict[str, Any] = {k: state[k] for k in ("params", "opt", "step")}
         if saved_ema:
             target["ema"] = {
                 g: (state["ema"].get(g) or state["params"][g])
                 for g in saved_ema if g in state["params"]}
-        restored = self.store.restore(target, step)
+        try:
+            restored = self.store.restore(target, step)
+        except Exception as second_err:
+            # not EMA-layout drift (shape mismatch, corrupt dir, ...):
+            # surface the ORIGINAL failure, not the legacy-path one
+            raise second_err from first_err
         ema = {g: restored.get("ema", {}).get(
                    g, jax.tree.map(jnp.array, restored["params"][g]))
                for g in state["ema"]}

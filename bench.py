@@ -280,7 +280,6 @@ def bench_ldm_train_step(iters: int = 5, batch: int = 16, width: int = 624,
     MFU from XLA cost analysis. ``bf16`` = mixed-precision fwd/bwd
     (LDMTaskConfig.bf16_compute), ``remat=False`` drops UNet gradient
     checkpointing (trades activation HBM for recompute FLOPs)."""
-    import dataclasses as _dc
     import tempfile
 
     import jax

@@ -87,11 +87,15 @@ FIXTURE_MERGES = [
     ("o", "n"), ("Ġ", "a"), ("e", "r"), ("a", "t"), ("Ġa", "t"),
     ("e", "n"), ("Ġ", "w"), ("o", "r"), ("Ġw", "or"), ("Ġwor", "d"),
     ("in", "g"), ("t", "ing"), ("1", "2"), ("12", "3"),
+    # a '#'-forming merge: only the FIRST merges.txt line is a header,
+    # '# #' elsewhere is a real rule (HF semantics)
+    ("#", "#"),
 ]
 
 GPT2_TEXTS = ["the word testing 123", "The  Word!", " at the rate",
               "don't stop", "newline\nand\ttab", "unicode Ω π",
-              "wording matter", "a", "trailing space ", "  leading"]
+              "wording matter", "a", "trailing space ", "  leading",
+              "## markdown header", "#include <x>"]
 
 
 def _fixture_vocab():
@@ -255,6 +259,16 @@ def test_app_vocab_wiring_dispatch(tmp_path):
     load_engine_vocabs({"t2i": c}, [f"t2i={tmp_path}"])  # dir → BPE codec
     assert c.tokenizer.encode("the word") == \
         load_gpt2_bpe(vj, mt).encode("the word")
+
+    # the vocab must also reach an attached CLAP scorer — best-of-n ranking
+    # tokenizes through scorer.tokenizer, not the engine's
+    class _Scorer:
+        tokenizer = None
+
+    d = _WithTokenizer()
+    d.scorer = _Scorer()
+    load_engine_vocabs({"t2a": d}, [f"t2a={vocab_txt}"])
+    assert d.scorer.tokenizer is d.tokenizer
 
     with pytest.raises(SystemExit):
         load_engine_vocabs({}, ["nope=/x"])

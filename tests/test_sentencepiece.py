@@ -23,7 +23,10 @@ PIECES = [
 ]
 
 TEXTS = ["the quick brown fox", "the theft", "he thinks", "fox ox",
-         "brownie", "q", "unknown Ω char"]
+         "brownie", "q", "unknown Ω char",
+         # consecutive OOV chars fuse into ONE unk (sentencepiece/HF
+         # semantics — one unk per char would diverge from T5Tokenizer)
+         "ΩΩ twice", "the ΩΩΩ fox", "éé mix Ωé"]
 
 
 def test_proto_roundtrip(tmp_path):

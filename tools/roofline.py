@@ -103,8 +103,6 @@ def ldm_train(bf16: bool = False, remat: bool = True):
         trainer = Trainer(task, TrainerConfig(
             work_dir=wd, use_tensorboard=False))
         state = trainer.init_state(jax.random.PRNGKey(0))
-        batch2 = dict(batch)
-        batch2.setdefault("step", state["step"])
         fn = trainer.train_step("unet")
         r = analyze(fn.lower(state, batch, jax.random.PRNGKey(1)).compile())
     r["metric"] = ("ldm_train_b16_roofline"

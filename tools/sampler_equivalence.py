@@ -160,13 +160,15 @@ if __name__ == "__main__":
     import argparse
     p = argparse.ArgumentParser()
     p.add_argument("n_seeds", nargs="?", type=int, default=3)
-    p.add_argument("--sampler", default="plms")
-    p.add_argument("--steps", type=int, default=25)
+    # default sampler/steps differ by mode: mel-L1 documents the PLMS-25
+    # fast path, --clap documents the production DPM++12 row (BASELINE.md)
+    p.add_argument("--sampler", default=None)
+    p.add_argument("--steps", type=int, default=None)
     p.add_argument("--clap", action="store_true",
                    help="CLAP-score equivalence (the reference's acceptance "
                         "metric) instead of mel L1")
     a = p.parse_args()
     if a.clap:
-        clap_equivalence(a.n_seeds, a.sampler, a.steps)
+        clap_equivalence(a.n_seeds, a.sampler or "dpmpp", a.steps or 12)
     else:
-        main(a.n_seeds, a.sampler, a.steps)
+        main(a.n_seeds, a.sampler or "plms", a.steps or 25)
