@@ -112,7 +112,19 @@ class ASREngine(Engine):
         """→ text. Uses ``self.text_decoder`` (a ``tokens -> str`` callable,
         e.g. a loaded whisper BPE decoder) when set; otherwise returns the
         raw token-id string so the pipeline stays drivable without vocab
-        files."""
+        files.
+
+        Audio longer than whisper's 30 s receptive field is transcribed in
+        fixed 30 s windows decoded as ONE batched program (the reference's
+        ``transcribe()`` seek loop — ``whisper/transcribe.py`` — runs the
+        windows sequentially; here they ride the dyadic batch ladder), and
+        the window texts are joined."""
+        wav = np.asarray(wav, np.float32)
+        n = self.cfg.n_samples
+        if wav.ndim == 1 and wav.shape[-1] > n:
+            wins = [wav[i: i + n] for i in range(0, wav.shape[-1], n)]
+            texts = self.transcribe_batch(wins, task, language)
+            return " ".join(t.strip() for t in texts if t.strip())
         toks = self.transcribe_tokens(wav, task, language)[0]
         return self._tokens_to_text(toks, task, language)
 

@@ -60,6 +60,32 @@ class TestASREngine:
         toks = eng.transcribe_tokens(wav)
         assert toks.shape == (1, 4 + 8)
 
+    def test_long_audio_windows_into_one_batch(self):
+        # audio > whisper's receptive field must be transcribed (the
+        # reference's transcribe() seek loop), not silently truncated —
+        # fixed windows decode as ONE batched program
+        from audiogpt_tpu.engines.asr import ASREngine
+        from audiogpt_tpu.models.asr import WhisperConfig
+
+        cfg = WhisperConfig(
+            n_audio_ctx=50, n_audio_state=32, n_audio_head=2, n_audio_layer=1,
+            n_vocab=100, n_text_ctx=16, n_text_state=32, n_text_head=2,
+            n_text_layer=1, chunk_length=1,
+        )
+        eng = ASREngine(cfg, max_tokens=4)
+        calls = []
+        orig = eng.transcribe_tokens
+
+        def spy(wav, *a, **k):
+            calls.append(np.asarray(wav).shape)
+            return orig(wav, *a, **k)
+
+        eng.transcribe_tokens = spy
+        # 2.5 s at the 1 s chunk_length → 3 windows padded to a 4-batch
+        out = eng.transcribe(np.zeros(int(2.5 * 16000), np.float32))
+        assert isinstance(out, str)
+        assert len(calls) == 1 and calls[0] == (4, cfg.n_samples)
+
 
 class TestTTSEngine:
     def test_text_to_wav_e2e(self):
