@@ -36,6 +36,13 @@ TEXTS = [
     "sound of rain on a tin roof, thunder in the distance",
     "ümlaut ünïcode mixed ASCII text",
     "emoji 🎵 music",
+    # oracle-fuzz extras: CJK (no spaces), combining marks, control chars,
+    # long token runs, quotes/dashes variants
+    "音声合成テスト中の文",
+    "combining: ȷ́ n̈ á",
+    "ctrl\x01chars\x7fhere",
+    "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbb",
+    "“smart quotes” and ‒–— dashes",
 ]
 
 
@@ -172,6 +179,27 @@ def test_tiktoken_ranks_loader(tmp_path):
     assert vocab["<|endoftext|>"] in ids
     assert mine.decode(ids) == "theword"
     assert "<|endoftext|>" in mine.decode(ids, skip_special=False)
+
+
+def test_gpt2_bpe_fuzz_vs_hf(tmp_path):
+    """Seeded unicode fuzz: byte-level codec must match HF id-for-id and
+    roundtrip exactly (the byte table makes every string representable)."""
+    import random
+
+    from transformers import GPT2Tokenizer
+
+    vocab, vj, mt = _write_fixture(tmp_path)
+    hf = GPT2Tokenizer(vj, mt)
+    mine = load_gpt2_bpe(vj, mt)
+    pools = ["abcdefghijklmnopqrstuvwxyz", "ABZ", " \t\n", "0123456789",
+             "éüßñøπΩ", "音声合成中文テスト한국어", "🎵🔊🤖", "!@#$%^&*()_+-=[]{}",
+             "\x00\x01\x7f", "''\"\"‒–—…", "ȷ́‍"]
+    rng = random.Random(1234)
+    for _ in range(60):
+        s = "".join(rng.choice(rng.choice(pools))
+                    for _ in range(rng.randrange(1, 24)))
+        assert mine.encode(s) == hf.encode(s), repr(s)
+        assert mine.decode(mine.encode(s)) == s, repr(s)
 
 
 def test_whisper_detokenizer(tmp_path):
