@@ -30,14 +30,15 @@ def _host_sync(x):
     return float(x)
 
 
-def bench_vocoder_rtf(frames: int = 1024, iters: int = 20, batch: int = 1):
+def bench_vocoder_rtf(frames: int = 1024, iters: int = 20, batch: int = 1,
+                      bf16: bool = False):
     import jax
     from audiogpt_tpu.engines.vocoder import VocoderEngine
     from audiogpt_tpu.utils import flops as F
 
     import jax.numpy as jnp
 
-    eng = VocoderEngine("hifigan", buckets=(frames,))
+    eng = VocoderEngine("hifigan", buckets=(frames,), bf16=bf16)
     mel = jnp.asarray(np.random.RandomState(0).randn(batch, frames, 80)
                       .astype(np.float32))
     # AOT-compile ONCE and reuse the same executable for cost analysis and
@@ -708,6 +709,17 @@ def main():
             "value": round(rtf8, 6), "unit": "wall_sec_per_audio_sec",
             "vs_baseline": round(target / rtf8, 3),
             **({"mfu": round(mfu8, 4)} if mfu8 else {}),
+        }))
+        # bf16 throughput mode (opt-in engine knob; ~1.4x on the BW-bound
+        # generator, see BASELINE.md roofline)
+        rtf8b, _, _, mfu8b = bench_vocoder_rtf(args.frames,
+                                               max(args.iters, 8),
+                                               batch=8, bf16=True)
+        print(json.dumps({
+            "metric": "hifigan_vocoder_rtf_batch8_bf16_per_stream",
+            "value": round(rtf8b, 6), "unit": "wall_sec_per_audio_sec",
+            "vs_baseline": round(target / rtf8b, 3),
+            **({"mfu": round(mfu8b, 4)} if mfu8b else {}),
         }))
         rtf, audio_sec, dt, mfu1 = bench_vocoder_rtf(args.frames, args.iters,
                                                      args.batch)

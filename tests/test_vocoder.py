@@ -145,6 +145,26 @@ class TestPWGMelGAN:
         assert wav.shape == (20 * cfg.hop_size,)
         assert np.isfinite(wav).all()
 
+    def test_bf16_throughput_mode_tracks_f32(self):
+        # opt-in bf16 engine knob (BW-bound generator, BASELINE roofline):
+        # same weights, f32 in/out, output must track the f32 path closely
+        import numpy as np
+        from audiogpt_tpu.engines.vocoder import VocoderEngine
+        from audiogpt_tpu.models.vocoder import HifiGANConfig
+
+        cfg = HifiGANConfig(upsample_initial_channel=32,
+                            resblock_kernel_sizes=(3,),
+                            resblock_dilation_sizes=((1, 3),))
+        f32 = VocoderEngine("hifigan", cfg=cfg, buckets=(32,))
+        b16 = VocoderEngine("hifigan", cfg=cfg, params=f32.params,
+                            buckets=(32,), bf16=True)
+        mel = np.random.RandomState(0).randn(24, 80).astype(np.float32)
+        a, b = f32(mel), b16(mel)
+        assert b.dtype == np.float32 and a.shape == b.shape
+        ref = np.sqrt((a ** 2).mean())
+        err = np.sqrt(((a - b) ** 2).mean())
+        assert err < 0.05 * ref + 1e-6, (err, ref)
+
     def test_pwg_engine(self):
         import numpy as np
         from audiogpt_tpu.engines.vocoder import VocoderEngine
