@@ -45,7 +45,9 @@ def clap_equivalence(n_seeds: int = 3, sampler: str = "dpmpp",
                      steps: int = 12, n_candidates: int = 3,
                      prompts=("a dog barking",
                               "rain falling on a tin roof",
-                              "a siren passing by")):
+                              "a siren passing by",
+                              "birds chirping in a forest",
+                              "a crowd applauding in a hall")):
     """Best-of-n CLAP-score equivalence: DDIM-100 vs the fast sampler on
     identical weights/seeds, scored by the in-repo CLAPScorer (random
     perturbed weights — the comparison is sampler-vs-sampler on a fixed
