@@ -215,16 +215,29 @@ class TTSEngine(Engine):
             toks = np.zeros((nb, tb), np.int32)
             for r, i in enumerate(idx):
                 toks[r, : len(ids[i])] = ids[i]
-            mels = np.asarray(self._fn(self.params, toks))[:n]
-            lens = []
-            for r in range(n):
-                nz = np.nonzero(np.abs(mels[r]).sum(-1) > 0)[0]
-                lens.append(int(nz[-1]) + 1 if len(nz) else 1)
-            mel_max = max(lens)
-            wavs = self.vocoder(mels[:, :mel_max])
             hop = self.vocoder.hop_size
-            for r, i in enumerate(idx):
-                out[i] = np.asarray(wavs[r][: lens[r] * hop])
+            if self._fused_ok:
+                # same ONE-program int16 path as single calls (identical
+                # output semantics, incl. the mel2ph trim rule); per-row
+                # device slices download only the valid half-width samples
+                # instead of round-tripping full-canvas f32 mels
+                wav16, nfr = self._fused_fn(self.params,
+                                            self.vocoder.params, toks)
+                nfr = np.asarray(nfr)
+                for r, i in enumerate(idx):
+                    end = int(nfr[r]) * hop
+                    out[i] = (np.asarray(wav16[r, :end])
+                              .astype(np.float32) / 32767.0)
+            else:
+                mels = np.asarray(self._fn(self.params, toks))[:n]
+                lens = []
+                for r in range(n):
+                    nz = np.nonzero(np.abs(mels[r]).sum(-1) > 0)[0]
+                    lens.append(int(nz[-1]) + 1 if len(nz) else 1)
+                mel_max = max(lens)
+                wavs = self.vocoder(mels[:, :mel_max])
+                for r, i in enumerate(idx):
+                    out[i] = np.asarray(wavs[r][: lens[r] * hop])
         return out  # type: ignore[return-value]
 
     @property

@@ -81,7 +81,9 @@ class TestBatchSynthesize:
         for t, got in zip(texts, batch):
             single = tts_engine(t)
             assert got.shape == single.shape
-            np.testing.assert_allclose(got, single, atol=1e-5)
+            # both paths run the fused int16 program; allow one int16 step
+            # for float rounding differences across batch shapes
+            np.testing.assert_allclose(got, single, atol=1.5 / 32767.0)
 
     def test_batched_proxy_serves_concurrent(self, tts_engine):
         proxy = BatchedTTS(tts_engine, window_ms=30.0)
@@ -100,7 +102,7 @@ class TestBatchSynthesize:
                 t.join()
             for i, t in enumerate(texts):
                 ref = tts_engine(t)
-                np.testing.assert_allclose(outs[i], ref, atol=1e-5)
+                np.testing.assert_allclose(outs[i], ref, atol=1.5 / 32767.0)
             assert proxy.sample_rate == tts_engine.sample_rate  # attr proxy
         finally:
             proxy.batcher.close()
