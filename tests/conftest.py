@@ -19,3 +19,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: overfit-to-artifact demos (hundreds of train steps; "
+        "deselect with -m 'not slow' for a quick pass)")

@@ -15,6 +15,7 @@ CPU); each is self-contained so `-k overfit` runs them standalone.
 import dataclasses
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,6 +30,7 @@ def _snr_db(ref: np.ndarray, est: np.ndarray) -> float:
     return 10.0 * np.log10(ref.var() / max(err.var(), 1e-12))
 
 
+@pytest.mark.slow
 def test_overfit_vocoder_gan_sine(tmp_path):
     from audiogpt_tpu.models.vocoder import HifiGANConfig
     from audiogpt_tpu.models.vocoder.discriminators import DiscriminatorConfig
@@ -72,6 +74,7 @@ def test_overfit_vocoder_gan_sine(tmp_path):
     assert snr_t > 3.0, f"trained sine reconstruction too poor: {snr_t:.1f} dB"
 
 
+@pytest.mark.slow
 def test_overfit_fs2_artifact(tmp_path):
     from audiogpt_tpu.models.tts.fastspeech2 import (FastSpeech2,
                                                      FastSpeech2Config)
@@ -130,6 +133,7 @@ def test_overfit_fs2_artifact(tmp_path):
         f"trained mel not closer to target: random {l1_r:.3f}, trained {l1_t:.3f}"
 
 
+@pytest.mark.slow
 def test_overfit_ldm_artifact(tmp_path):
     from audiogpt_tpu.models.diffusion import (UNetConfig, VAEConfig,
                                                ddim_sample)
