@@ -69,9 +69,12 @@ def split_for_buckets(frontend, text: str, fits) -> list[str]:
     return out
 
 
-def synthesize_long(engine, text: str, gap_sec: float = 0.1) -> np.ndarray:
-    """Chunked long-form text→wav over any engine exposing ``frontend``,
-    ``text_to_mel``, ``vocoder``, ``sample_rate`` and bucket ladders."""
+def synthesize_stream(engine, text: str, gap_sec: float = 0.1):
+    """Yield wav chunks (float32 [T] @ ``engine.sample_rate``) as soon as
+    each clause chunk is synthesized — time-to-first-audio is one chunk's
+    latency instead of the whole utterance's. ``synthesize_long`` is the
+    concatenation of this stream; the HTTP ``/tts/stream`` endpoint sends
+    it as a progressive WAV."""
     max_phones = max(engine.ph_bucketer.buckets
                      if hasattr(engine, "ph_bucketer")
                      else engine.bucketer.buckets)
@@ -85,19 +88,20 @@ def synthesize_long(engine, text: str, gap_sec: float = 0.1) -> np.ndarray:
         return max_words is None or len(pt.words) + 2 <= max_words
 
     chunks = split_for_buckets(engine.frontend, text, fits)
-    if getattr(engine, "_fused_ok", False):
-        wavs = [engine.synthesize_chunk(c) for c in chunks]
-    else:
-        wavs = [engine.vocoder(engine.text_to_mel(c)) for c in chunks]
-    if len(wavs) == 1:
-        return wavs[0]
     gap = np.zeros(int(gap_sec * engine.sample_rate), np.float32)
-    pieces: list[np.ndarray] = []
-    for i, w in enumerate(wavs):
-        pieces.append(w)
-        if i < len(wavs) - 1:
-            pieces.append(gap)
-    return np.concatenate(pieces)
+    fused = getattr(engine, "_fused_ok", False)
+    for i, c in enumerate(chunks):
+        yield (engine.synthesize_chunk(c) if fused
+               else engine.vocoder(engine.text_to_mel(c)))
+        if i < len(chunks) - 1:
+            yield gap
+
+
+def synthesize_long(engine, text: str, gap_sec: float = 0.1) -> np.ndarray:
+    """Chunked long-form text→wav over any engine exposing ``frontend``,
+    ``text_to_mel``, ``vocoder``, ``sample_rate`` and bucket ladders."""
+    pieces = list(synthesize_stream(engine, text, gap_sec))
+    return pieces[0] if len(pieces) == 1 else np.concatenate(pieces)
 
 
 @ENGINES.register("tts")

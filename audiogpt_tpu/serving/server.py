@@ -245,6 +245,8 @@ class _Handler(BaseHTTPRequestHandler):
             from audiogpt_tpu.agent.tools import tool_stats_report
 
             self._json(tool_stats_report())
+        elif self.path.startswith("/tts/stream"):
+            self._tts_stream()
         elif self.path.startswith("/media/"):
             rel = os.path.normpath(self.path[len("/media/"):])
             full = os.path.join(self.app.media_root, rel)
@@ -264,6 +266,37 @@ class _Handler(BaseHTTPRequestHandler):
                 shutil.copyfileobj(f, self.wfile)
         else:
             self._json({"error": "not found"}, 404)
+
+    def _tts_stream(self):
+        """``GET /tts/stream?text=...`` → progressive WAV: the streaming
+        header goes out immediately, then int16 PCM per synthesized clause
+        chunk (``engines.tts.synthesize_stream``) — time-to-first-audio is
+        one chunk's latency, not the whole utterance's. HTTP/1.0 close
+        delimits the stream (no Content-Length)."""
+        from urllib.parse import parse_qs, urlparse
+
+        import numpy as np
+
+        text = (parse_qs(urlparse(self.path).query).get("text") or [""])[0]
+        eng = self.app.engines.get("tts")
+        if eng is None:
+            self._json({"error": "tts engine not enabled"}, 404)
+            return
+        if not text.strip():
+            self._json({"error": "missing text"}, 400)
+            return
+        from audiogpt_tpu.engines.tts import synthesize_stream
+        from audiogpt_tpu.utils.audio_io import wav_stream_header
+
+        self.send_response(200)
+        self.send_header("Content-Type", "audio/wav")
+        self.end_headers()
+        self.wfile.write(wav_stream_header(eng.sample_rate))
+        self.wfile.flush()
+        for chunk in synthesize_stream(eng, text):
+            pcm = (np.clip(chunk, -1.0, 1.0) * 32767.0).astype("<i2")
+            self.wfile.write(pcm.tobytes())
+            self.wfile.flush()
 
     def do_POST(self):
         try:

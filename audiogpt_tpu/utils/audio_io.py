@@ -40,3 +40,17 @@ def load_wav(path: str, sr: int | None = None, mono: bool = True):
         wav = np.asarray(resample(wav, file_sr, sr))
         file_sr = sr
     return wav, file_sr
+
+
+def wav_stream_header(sr: int, channels: int = 1, bits: int = 16) -> bytes:
+    """RIFF/WAVE header for a PCM stream of unknown length (chunk sizes
+    0xFFFFFFFF — the streaming-WAV convention players accept; the HTTP
+    ``/tts/stream`` endpoint writes this once, then raw PCM as synthesized)."""
+    import struct
+
+    byte_rate = sr * channels * bits // 8
+    block_align = channels * bits // 8
+    return (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, sr,
+                                    byte_rate, block_align, bits)
+            + b"data" + struct.pack("<I", 0xFFFFFFFF))

@@ -3,6 +3,7 @@ endpoint with a scripted LLM + a tiny real engine."""
 
 import json
 import threading
+import urllib.parse
 import urllib.request
 
 import numpy as np
@@ -478,3 +479,60 @@ def test_decode_mask_png_variants():
     g.putpixel((4, 2), 255)
     m3 = decode_mask_png(png(g), mel_bins=16)
     assert m3[4, 2] == 1.0 and m3.sum() == 1.0
+
+
+def test_tts_stream_endpoint(tmp_path):
+    """GET /tts/stream streams a WAV progressively: streaming RIFF header
+    first, then int16 PCM per synthesized clause chunk; bytes equal the
+    engine's full synthesis within one int16 step."""
+    import http.client
+    import struct
+
+    from audiogpt_tpu.engines.tts import TTSEngine
+    from audiogpt_tpu.engines.vocoder import VocoderEngine
+    from audiogpt_tpu.models.tts import FastSpeech2Config
+    from audiogpt_tpu.models.vocoder import HifiGANConfig
+
+    voc = VocoderEngine(
+        "hifigan",
+        HifiGANConfig(upsample_initial_channel=32, resblock_kernel_sizes=(3,),
+                      resblock_dilation_sizes=((1, 3),)),
+        buckets=(64, 128))
+    eng = TTSEngine(
+        cfg=FastSpeech2Config(vocab_size=128, hidden_size=32, enc_layers=1,
+                              dec_layers=1, predictor_layers=2,
+                              max_frames=128),
+        vocoder=voc, token_buckets=(16, 32))
+    llm = ScriptedLLM(["Thought: Do I need to use a tool? No\nAI: ok"])
+    app = AppServer(llm, {"tts": eng}, media_root=str(tmp_path))
+    httpd = make_server(app, port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        text = "hello there. this is a second clause for chunking."
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/tts/stream?text=" +
+                     urllib.parse.quote(text))
+        r = conn.getresponse()
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "audio/wav"
+        assert r.headers.get("Content-Length") is None  # stream: EOF-delimited
+        raw = r.read()
+        conn.close()
+        assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+        assert struct.unpack("<I", raw[24:28])[0] == eng.sample_rate
+        pcm = np.frombuffer(raw[44:], "<i2").astype(np.float32) / 32767.0
+        ref = eng(text)
+        assert pcm.shape == ref.shape
+        assert np.abs(pcm - ref).max() <= 1.5 / 32767.0
+
+        code, body, _ = _req(port, "/tts/stream?text=%20")
+        assert code == 400
+    finally:
+        httpd.shutdown()
+
+
+def test_tts_stream_without_engine_404(server):
+    port, _, _ = server
+    code, body, _ = _req(port, "/tts/stream?text=hi")
+    assert code == 404
