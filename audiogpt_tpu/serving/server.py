@@ -288,15 +288,42 @@ class _Handler(BaseHTTPRequestHandler):
         from audiogpt_tpu.engines.tts import synthesize_stream
         from audiogpt_tpu.utils.audio_io import wav_stream_header
 
+        # Pull the FIRST chunk before committing to a 200: the generator is
+        # lazy, so frontend/bucket errors (e.g. an unsplittable token) would
+        # otherwise surface after the header — a truncated HTTP-200 WAV the
+        # client can't tell from success (ADVICE r3).
+        gen = synthesize_stream(eng, text)
+        try:
+            first = next(gen)
+        except StopIteration:
+            self._json({"error": "empty synthesis"}, 400)
+            return
+        except Exception as e:
+            self._json({"error": f"{type(e).__name__}: {e}"}, 500)
+            return
         self.send_response(200)
         self.send_header("Content-Type", "audio/wav")
         self.end_headers()
         self.wfile.write(wav_stream_header(eng.sample_rate))
         self.wfile.flush()
-        for chunk in synthesize_stream(eng, text):
-            pcm = (np.clip(chunk, -1.0, 1.0) * 32767.0).astype("<i2")
-            self.wfile.write(pcm.tobytes())
-            self.wfile.flush()
+        try:
+            chunk = first
+            while True:
+                pcm = (np.clip(chunk, -1.0, 1.0) * 32767.0).astype("<i2")
+                self.wfile.write(pcm.tobytes())
+                self.wfile.flush()
+                chunk = next(gen)
+        except StopIteration:
+            pass
+        except (BrokenPipeError, ConnectionResetError):
+            pass  # client went away mid-stream
+        except Exception as e:
+            # mid-stream engine failure: the 200 is already committed, so
+            # log and close — EOF truncation is the only signal HTTP allows
+            import sys
+
+            print(f"| /tts/stream aborted: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
 
     def do_POST(self):
         try:
