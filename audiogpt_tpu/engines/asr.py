@@ -57,6 +57,23 @@ class ASREngine(Engine):
         self.params = params
         if vocab is not None:
             self.set_vocab(vocab)
+        else:
+            # out-of-box default: decode through the bundled derived codec
+            # (CLIP BPE data — the one published tokenizer artifact in-tree)
+            # so `transcribe` returns TEXT, not token-id strings. Ids do NOT
+            # match OpenAI's whisper ranks: a model trained in this framework
+            # with this codec is coherent; imported openai/HF whisper weights
+            # need the matching ranks via set_vocab/--vocab (the torch
+            # importer warns — utils/torch_import.py whisper family).
+            try:
+                from audiogpt_tpu.text.bpe import (WhisperDetokenizer,
+                                                   load_clip_bpe)
+
+                self.text_decoder = WhisperDetokenizer(load_clip_bpe(),
+                                                       eot=EOT)
+                self.text_decoder.derived = True
+            except FileNotFoundError:
+                pass  # no bundled data: raw token-id strings + warning
 
     def set_vocab(self, vocab) -> None:
         """Wire a whisper BPE vocab so ``transcribe`` returns TEXT. ``vocab``
@@ -70,6 +87,14 @@ class ASREngine(Engine):
         if isinstance(vocab, ByteBPE):
             vocab = WhisperDetokenizer(vocab, eot=EOT)
         self.text_decoder = vocab
+
+    def warmup(self, batch_sizes=(1,)) -> None:
+        """AOT-compile the encoder+scan-decode program for each batch rung so
+        serving requests never wait on a cold compile (see
+        :meth:`engines.tts.TTSEngine.warmup`)."""
+        for nb in batch_sizes:
+            self.transcribe_tokens(np.zeros((int(nb), self.cfg.n_samples),
+                                            np.float32))
 
     def sot_sequence(self, task: str = "translate", language: int = 0) -> list[int]:
         """The reference uses whisper's translate task (audio-chatgpt.py:1296)."""
@@ -109,10 +134,9 @@ class ASREngine(Engine):
 
     def transcribe(self, wav: np.ndarray, task: str = "translate",
                    language: int = 0) -> str:
-        """→ text. Uses ``self.text_decoder`` (a ``tokens -> str`` callable,
-        e.g. a loaded whisper BPE decoder) when set; otherwise returns the
-        raw token-id string so the pipeline stays drivable without vocab
-        files.
+        """→ text. Uses ``self.text_decoder`` (a ``tokens -> str`` callable;
+        by default the bundled derived codec, so text comes out of the box —
+        wire OpenAI's ranks via ``set_vocab`` for imported whisper weights).
 
         Audio longer than whisper's 30 s receptive field is transcribed in
         fixed 30 s windows decoded as ONE batched program (the reference's

@@ -60,10 +60,42 @@ class CLAPTextEncoder(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+def bundled_wordpiece_path() -> str | None:
+    """Path of the bundled derived WordPiece vocab, or None if absent."""
+    import os
+
+    p = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))),
+        "text", "data", "wordpiece_en.txt.gz")
+    return p if os.path.exists(p) else None
+
+
+def _open_vocab(path: str):
+    """Iterate vocab lines from a plain or gzipped vocab.txt."""
+    import gzip
+
+    if path.endswith(".gz"):
+        with gzip.open(path, "rt", encoding="utf-8") as f:
+            yield from f
+    else:
+        with open(path, encoding="utf-8") as f:
+            yield from f
+
+
 class WordPieceTokenizer:
-    """Loads a BERT ``vocab.txt``. Without one, falls back to a hash-bucket
-    tokenizer so pipelines run end-to-end (useless linguistically, harmless
-    for shape/flow tests)."""
+    """Loads a BERT ``vocab.txt`` (plain or ``.gz``).
+
+    Without an explicit path, the BUNDLED derived English vocab
+    (``text/data/wordpiece_en.txt.gz`` — 30,522 entries generated from the
+    in-tree CLIP BPE data by ``tools/build_wordpiece_vocab.py``; special ids
+    match bert-base-uncased: [PAD]=0, [UNK]=100, [CLS]=101, [SEP]=102) loads
+    when it fits the model's embedding table, so the CLAP/BLIP/LASSNet
+    towers tokenize linguistically out of the box. Token ids do NOT match
+    Google's bert-base-uncased mapping — imported checkpoints trained on the
+    HF vocab must wire the original ``vocab.txt`` (``--vocab``); models
+    trained in this framework are coherent with the bundled one. Only when
+    no vocab fits (tiny test configs) does it fall back to hash-bucket ids
+    (loud warning, linguistically void)."""
 
     CLS, SEP, PAD, UNK = "[CLS]", "[SEP]", "[PAD]", "[UNK]"
 
@@ -71,10 +103,17 @@ class WordPieceTokenizer:
         self.vocab: dict[str, int] = {}
         self.vocab_size = vocab_size
         self._warned = False
+        self.derived = False
+        if vocab_path is None:
+            bundled = bundled_wordpiece_path()
+            if bundled is not None:
+                n = sum(1 for _ in _open_vocab(bundled))
+                if n <= vocab_size:  # must fit the embedding table
+                    vocab_path = bundled
+                    self.derived = True
         if vocab_path:
-            with open(vocab_path, encoding="utf-8") as f:
-                for i, line in enumerate(f):
-                    self.vocab[line.rstrip("\n")] = i
+            for i, line in enumerate(_open_vocab(vocab_path)):
+                self.vocab[line.rstrip("\n")] = i
             self.vocab_size = len(self.vocab)
 
     def _warn_no_vocab(self):

@@ -17,6 +17,20 @@ from typing import Mapping
 import numpy as np
 
 
+def _warn_vocab_mismatch(family: str, vocab_hint: str) -> None:
+    """Imported weights were trained against an UPSTREAM tokenizer vocab;
+    the bundled derived vocabs (wordpiece_en.txt.gz / CLIP-codec whisper
+    detok) use different token ids, so text I/O around these weights will be
+    wrong until the matching vocab is wired (``--vocab`` / ``set_vocab``)."""
+    import warnings
+
+    warnings.warn(
+        f"[{family}] imported weights were trained with {vocab_hint}; the "
+        f"bundled derived vocab uses DIFFERENT token ids. Wire the original "
+        f"vocab (app.py --vocab / engine.set_vocab) or text around this "
+        f"model will be mistokenized.", stacklevel=3)
+
+
 def _fold_wn(sd: Mapping[str, np.ndarray], prefix: str) -> np.ndarray:
     """Fold torch weight_norm (dim=0): w = g * v / ||v||_{dims≠0}."""
     if prefix + ".weight" in sd:
@@ -171,6 +185,8 @@ def _whisper_mha(sd, prefix):
 
 def convert_whisper(sd: Mapping[str, np.ndarray], cfg) -> dict:
     """HF/openai Whisper → :class:`audiogpt_tpu.models.asr.WhisperModel`."""
+    _warn_vocab_mismatch("whisper", "OpenAI's BPE ranks "
+                         "(gpt2/multilingual.tiktoken)")
     sd = _whisper_to_hf_names(dict(sd))
     enc: dict = {
         "conv1": _conv1d(sd, "encoder.conv1"),
@@ -499,6 +515,7 @@ def convert_bert(sd: Mapping[str, np.ndarray], cfg) -> dict:
 
 def convert_clap_text(sd: Mapping[str, np.ndarray], cfg) -> dict:
     """CLAP ``caption_encoder`` (base BERT + Projection) → CLAPTextEncoder."""
+    _warn_vocab_mismatch("clap_text", "the HF bert-base-uncased vocab.txt")
     sd = {k.removeprefix("caption_encoder."): np.asarray(v) for k, v in sd.items()}
     bert = convert_bert({k: v for k, v in sd.items() if k.startswith("base.")},
                         cfg.bert)["params"]
@@ -745,6 +762,7 @@ def convert_lassnet(sd: Mapping[str, np.ndarray], cfg) -> dict:
     from an ``nn.DataParallel`` wrapper → 'module.' is stripped.
     """
     sd = {k.removeprefix("module."): np.asarray(v) for k, v in sd.items()}
+    _warn_vocab_mismatch("lassnet", "the HF bert vocab.txt")
     bert = convert_bert(
         {k.removeprefix("text_embedder.bert_layer."): v for k, v in sd.items()
          if k.startswith("text_embedder.bert_layer.")}, cfg.bert)["params"]

@@ -73,10 +73,33 @@ class TestWordPiece:
         assert ids[5] == 3  # SEP
         assert mask.sum() == 6
 
-    def test_fallback_no_vocab(self):
+    def test_default_loads_bundled_derived_vocab(self):
+        """Out-of-box default = the bundled derived WordPiece vocab
+        (text/data/wordpiece_en.txt.gz): linguistic pieces, BERT special
+        ids, no hash-bucket warning."""
+        import warnings
+
         tok = WordPieceTokenizer()
+        assert tok.derived and tok.vocab_size == 30522
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            ids, mask = tok.encode("a dog barking in the distance",
+                                   max_length=16)
+        assert ids[0] == 101 and ids[mask.sum() - 1] == 102  # [CLS]...[SEP]
+        body = [int(i) for i in ids[1: mask.sum() - 1]]
+        assert all(i != 100 for i in body), "no [UNK] on plain English"
+        assert all(i < tok.vocab_size for i in body)
+        # decode round-trips the words
+        assert tok.decode(ids[: mask.sum()]) == "a dog barking in the distance"
+
+    def test_fallback_small_table(self):
+        """A model whose embedding table is smaller than the bundled vocab
+        (tiny test configs) still gets the hash-bucket fallback."""
+        tok = WordPieceTokenizer(vocab_size=500)
+        assert not tok.derived and not tok.vocab
         ids, mask = tok.encode("anything goes", max_length=8)
         assert ids.shape == (8,) and ids[0] == 101 and mask[0] == 1
+        assert max(int(i) for i in ids) < 500
 
 
 class TestHTSAT:
