@@ -1,14 +1,23 @@
-"""ASR engine: waveform → token ids (→ text with a tokenizer).
+"""ASR engine: waveform → text (robust whisper decoding).
 
-Mirrors the reference's ASR tool behavior (``audio-chatgpt.py:560-577``):
-load → pad/trim to 30 s → log-mel → decode, with task/language control via
-the forced SOT prompt. All compute after the numpy boundary is two jit
-programs (encoder+prime, scan-decode) per batch-shape bucket.
+Mirrors the reference's ASR tool behavior (``audio-chatgpt.py:560-577``:
+``whisper.decode(model, mel, DecodingOptions())`` + the ``transcribe()``
+seek loop): load → pad/trim to 30 s → log-mel → decode with the reference's
+robustness machinery — non-speech/blank token suppression, no-speech
+detection, and temperature fallback on low-logprob / high-compression
+decodes (openai-whisper ``DecodingTask`` + ``transcribe.py`` semantics).
+All compute after the numpy boundary is one jit program (encoder + prime +
+scan-decode with static suppression masks) per batch-shape bucket;
+temperature is traced, so the fallback ladder re-dispatches the SAME
+compiled program.
 """
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from audiogpt_tpu.registry import ENGINES
@@ -16,7 +25,7 @@ from audiogpt_tpu.engines.base import Engine
 from audiogpt_tpu.models.asr import (
     WhisperConfig,
     WhisperModel,
-    greedy_decode,
+    decode,
     whisper_log_mel,
 )
 
@@ -26,7 +35,41 @@ EOT = 50257
 TASK_TRANSCRIBE = 50359
 TASK_TRANSLATE = 50358
 NO_TIMESTAMPS = 50363
+NO_SPEECH = 50362
+SOT_PREV = 50361
 LANG_BASE = 50259  # + language index (en=0, zh=1, ...)
+
+
+def compression_ratio(text: str) -> float:
+    """whisper's degenerate-repetition statistic (``utils.py
+    compression_ratio``): UTF-8 length over zlib-compressed length — looping
+    output compresses absurdly well."""
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
+
+
+def dedup_join(texts: list[str], max_overlap_words: int = 8) -> str:
+    """Join per-window transcripts, deduplicating the seam: consecutive
+    windows overlap by a halo (see :meth:`ASREngine.transcribe`), so a word
+    straddling a window boundary appears at the END of one window and the
+    START of the next — drop the longest case-insensitive suffix/prefix
+    word match (the reference's seek loop avoids the seam instead by
+    re-seeking to the last complete segment; a sample halo + join-time dedup
+    keeps the windows batchable as ONE program)."""
+    out: list[str] = []
+    for t in texts:
+        words = t.split()
+        if out and words:
+            k = min(max_overlap_words, len(out), len(words))
+            for j in range(k, 0, -1):
+                if [w.lower() for w in out[-j:]] == \
+                        [w.lower() for w in words[:j]]:
+                    words = words[j:]
+                    break
+        out.extend(words)
+    return " ".join(out)
 
 
 def pad_or_trim(wav: np.ndarray, n_samples: int) -> np.ndarray:
@@ -42,15 +85,35 @@ class ASREngine(Engine):
     name = "asr"
 
     def __init__(self, cfg: WhisperConfig | None = None, params=None,
-                 max_tokens: int = 224, rng_seed: int = 0, vocab=None):
+                 max_tokens: int = 224, rng_seed: int = 0, vocab=None,
+                 temperatures=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+                 compression_ratio_threshold: float | None = 2.4,
+                 logprob_threshold: float | None = -1.0,
+                 no_speech_threshold: float | None = 0.6,
+                 halo_sec: float = 1.0):
+        """``temperatures``/thresholds are the reference's ``transcribe()``
+        defaults (openai-whisper): the t=0 decode is retried at rising
+        temperatures while its compression ratio exceeds 2.4 (degenerate
+        repetition) or its mean logprob is under −1; a window whose
+        no-speech probability beats 0.6 AND fails the logprob bar returns
+        "". NOTE: with random (untrained) weights every decode fails the
+        logprob bar by construction (~−log V) — pass ``temperatures=(0.0,)``
+        for deterministic single-pass decoding in benches/smoke tests.
+        ``halo_sec``: overlap between the >30 s batched windows (seam words
+        are recovered by :func:`dedup_join`)."""
         super().__init__()
         self.cfg = cfg or WhisperConfig()
         self.model = WhisperModel(self.cfg)
         self.max_tokens = max_tokens
+        self.temperatures = tuple(temperatures)
+        self.compression_ratio_threshold = compression_ratio_threshold
+        self.logprob_threshold = logprob_threshold
+        self.no_speech_threshold = no_speech_threshold
+        self.halo_sec = halo_sec
         self._warned_no_vocab = False
+        self._filters_cache = None
+        self._base_rng = jax.random.PRNGKey(rng_seed + 1)
         if params is None:
-            import jax
-
             mel = jnp.zeros((1, 2 * self.cfg.n_audio_ctx, self.cfg.n_mels))
             toks = jnp.zeros((1, 4), jnp.int32)
             params = self.model.init(jax.random.PRNGKey(rng_seed), mel, toks)
@@ -87,6 +150,7 @@ class ASREngine(Engine):
         if isinstance(vocab, ByteBPE):
             vocab = WhisperDetokenizer(vocab, eot=EOT)
         self.text_decoder = vocab
+        self._filters_cache = None  # suppression ids are vocab-dependent
 
     def warmup(self, batch_sizes=(1,)) -> None:
         """AOT-compile the encoder+scan-decode program for each batch rung so
@@ -101,21 +165,62 @@ class ASREngine(Engine):
         task_tok = TASK_TRANSLATE if task == "translate" else TASK_TRANSCRIBE
         return [SOT, LANG_BASE + language, task_tok, NO_TIMESTAMPS]
 
-    def transcribe_tokens(self, wav: np.ndarray, task: str = "translate",
-                          language: int = 0) -> np.ndarray:
-        """wav [T] or [B, T] @16 kHz → token ids [B, P+max_tokens]."""
-        if wav.ndim == 1:
-            wav = wav[None]
+    @property
+    def eot(self) -> int:
+        return EOT if self.cfg.n_vocab > EOT else self.cfg.n_vocab - 1
+
+    @property
+    def _filters(self):
+        """(suppress_ids, suppress_gte, blank_ids, no_speech_id) — the
+        static logit-filter spec (openai-whisper ``SuppressTokens`` /
+        ``SuppressBlank`` / no-speech detection), computed against the wired
+        codec and cached until ``set_vocab`` changes it."""
+        if self._filters_cache is None:
+            eot = self.eot
+            codec = getattr(getattr(self, "text_decoder", None), "codec",
+                            None)
+            sup: tuple = ()
+            blanks = [eot]
+            if codec is not None:
+                from audiogpt_tpu.text.bpe import non_speech_ids
+
+                sup = tuple(i for i in non_speech_ids(codec)
+                            if i < self.cfg.n_vocab)
+                space = codec.encode(" ")
+                if len(space) == 1:
+                    blanks.append(int(space[0]))
+            gte = eot + 1 if self.cfg.n_vocab > eot + 1 else None
+            nsid = NO_SPEECH if self.cfg.n_vocab > NO_SPEECH else None
+            self._filters_cache = (sup, gte, tuple(blanks), nsid)
+        return self._filters_cache
+
+    def _decode_stats(self, wav: np.ndarray, task: str = "translate",
+                      language: int = 0, temperature: float = 0.0,
+                      attempt: int = 0):
+        """wav [B, T] @16 kHz → (tokens [B, P+max_tokens], avg_logprob [B],
+        no_speech_prob [B]) through ONE compiled program with the static
+        suppression masks applied in-scan."""
         wav = pad_or_trim(wav, self.cfg.n_samples)
         mel = whisper_log_mel(jnp.asarray(wav), self.cfg.n_mels)
         sot = self.sot_sequence(task, language)
         prompt = jnp.tile(jnp.asarray(sot, jnp.int32)[None], (wav.shape[0], 1))
-        eot = EOT if self.cfg.n_vocab > EOT else self.cfg.n_vocab - 1
-        toks = greedy_decode(
+        sup, gte, blanks, nsid = self._filters
+        toks, avg_lp, ns = decode(
             self.model, self.params, mel, prompt,
-            max_tokens=self.max_tokens, eot_id=eot,
+            max_tokens=self.max_tokens, eot_id=self.eot,
+            suppress=sup, suppress_gte=gte, blank_ids=blanks,
+            no_speech_id=nsid, temperature=temperature,
+            rng=jax.random.fold_in(self._base_rng, attempt),
         )
-        return np.asarray(toks)
+        return np.asarray(toks), np.asarray(avg_lp), np.asarray(ns)
+
+    def transcribe_tokens(self, wav: np.ndarray, task: str = "translate",
+                          language: int = 0) -> np.ndarray:
+        """wav [T] or [B, T] @16 kHz → token ids [B, P+max_tokens]
+        (deterministic t=0 decode with suppression)."""
+        if wav.ndim == 1:
+            wav = wav[None]
+        return self._decode_stats(wav, task, language)[0]
 
     def _tokens_to_text(self, toks, task: str, language: int) -> str:
         dec = getattr(self, "text_decoder", None)
@@ -132,6 +237,59 @@ class ASREngine(Engine):
                           "emitting raw token-id strings")
         return " ".join(str(t) for t in body)
 
+    def _needs_fallback(self, text: str, avg_lp: float) -> bool:
+        """whisper ``transcribe.py decode_with_fallback``: retry at a higher
+        temperature when the decode looks degenerate (compresses too well)
+        or under-confident (mean logprob below the bar)."""
+        if (self.compression_ratio_threshold is not None
+                and compression_ratio(text) > self.compression_ratio_threshold):
+            return True
+        if (self.logprob_threshold is not None
+                and avg_lp < self.logprob_threshold):
+            return True
+        return False
+
+    def _finalize(self, text: str, avg_lp: float, ns_prob: float) -> str:
+        """whisper's no-speech skip: a window that looks like silence AND
+        failed the confidence bar contributes no text."""
+        if self.no_speech_threshold is not None \
+                and ns_prob > self.no_speech_threshold:
+            if self.logprob_threshold is None \
+                    or avg_lp < self.logprob_threshold:
+                return ""
+        return text
+
+    def _robust_decode(self, stack: np.ndarray, task: str,
+                       language: int) -> list[str]:
+        """Temperature-fallback decode of ``stack [n, T]``: every pending
+        row rides one batched dispatch per ladder rung (dyadic-padded, so
+        each retry reuses an already-compiled bucket program); rows that
+        pass the quality checks drop out of the ladder."""
+        n = stack.shape[0]
+        texts = [""] * n
+        stats = [(0.0, 0.0)] * n
+        pending = list(range(n))
+        for attempt, t in enumerate(self.temperatures):
+            nb = 1
+            while nb < len(pending):
+                nb *= 2
+            sub = np.zeros((nb, stack.shape[1]), np.float32)
+            for r, pi in enumerate(pending):
+                sub[r] = stack[pi]
+            toks, avg_lp, ns = self._decode_stats(sub, task, language,
+                                                  temperature=float(t),
+                                                  attempt=attempt)
+            retry = []
+            for r, pi in enumerate(pending):
+                texts[pi] = self._tokens_to_text(toks[r], task, language)
+                stats[pi] = (float(avg_lp[r]), float(ns[r]))
+                if self._needs_fallback(texts[pi], float(avg_lp[r])):
+                    retry.append(pi)
+            pending = retry
+            if not pending:
+                break
+        return [self._finalize(texts[i], *stats[i]) for i in range(n)]
+
     def transcribe(self, wav: np.ndarray, task: str = "translate",
                    language: int = 0) -> str:
         """→ text. Uses ``self.text_decoder`` (a ``tokens -> str`` callable;
@@ -139,31 +297,38 @@ class ASREngine(Engine):
         wire OpenAI's ranks via ``set_vocab`` for imported whisper weights).
 
         Audio longer than whisper's 30 s receptive field is transcribed in
-        fixed 30 s windows decoded as ONE batched program (the reference's
-        ``transcribe()`` seek loop — ``whisper/transcribe.py`` — runs the
-        windows sequentially; here they ride the dyadic batch ladder), and
-        the window texts are joined."""
+        overlapping windows (``halo_sec`` of shared samples per seam)
+        decoded as ONE batched program (the reference's ``transcribe()``
+        seek loop — ``whisper/transcribe.py`` — runs windows sequentially
+        and re-seeks to the last complete segment; here the windows ride
+        the dyadic batch ladder and :func:`dedup_join` recovers words that
+        straddle a boundary from the halo)."""
         wav = np.asarray(wav, np.float32)
         n = self.cfg.n_samples
         if wav.ndim == 1 and wav.shape[-1] > n:
-            wins = [wav[i: i + n] for i in range(0, wav.shape[-1], n)]
+            halo = min(int(self.halo_sec * self.cfg.sample_rate), n // 4)
+            stride = n - halo
+            wins, i = [], 0
+            while True:
+                wins.append(wav[i: i + n])
+                if i + n >= wav.shape[-1]:
+                    break
+                i += stride
             texts = self.transcribe_batch(wins, task, language)
-            return " ".join(t.strip() for t in texts if t.strip())
-        toks = self.transcribe_tokens(wav, task, language)[0]
-        return self._tokens_to_text(toks, task, language)
+            return dedup_join([t.strip() for t in texts if t.strip()])
+        if wav.ndim == 1:
+            wav = wav[None]
+        return self._robust_decode(pad_or_trim(wav, n), task, language)[0]
 
     def transcribe_batch(self, wavs, task: str = "translate",
                          language: int = 0) -> list[str]:
-        """Many wavs → texts through ONE whisper program. The batch pads to
-        a dyadic size so the jitted encoder+decode compiles once per bucket
-        (not once per concurrent-request count); dummy rows are dropped."""
-        n = len(wavs)
-        nb = 1
-        while nb < n:
-            nb *= 2
-        top = max(len(w) for w in wavs)
-        stack = np.zeros((nb, top), np.float32)
+        """Many wavs → texts through ONE whisper program per fallback rung.
+        The batch pads to a dyadic size so the jitted encoder+decode
+        compiles once per bucket (not once per concurrent-request count);
+        dummy rows are dropped."""
+        n = self.cfg.n_samples
+        stack = np.zeros((len(wavs), n), np.float32)
         for i, w in enumerate(wavs):
-            stack[i, : len(w)] = np.asarray(w, np.float32)
-        toks = self.transcribe_tokens(stack, task, language)[:n]
-        return [self._tokens_to_text(row, task, language) for row in toks]
+            w = np.asarray(w, np.float32)[:n]
+            stack[i, : len(w)] = w
+        return self._robust_decode(stack, task, language)

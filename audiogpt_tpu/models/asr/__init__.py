@@ -5,4 +5,5 @@ from audiogpt_tpu.models.asr.whisper import (  # noqa: F401
     WhisperModel,
     whisper_log_mel,
     greedy_decode,
+    decode,
 )

@@ -233,7 +233,7 @@ class WhisperModel(nn.Module):
 
 
 # ---------------------------------------------------------------------------
-# Greedy decode as one compiled program
+# Decode as one compiled program (greedy / sampled, with logit filters)
 # ---------------------------------------------------------------------------
 
 
@@ -245,25 +245,80 @@ def greedy_decode(
     max_tokens: int,
     eot_id: int,
 ) -> jnp.ndarray:
-    """Returns tokens [B, P+max_tokens] with EOT-padding after stop.
+    """Plain greedy decode → tokens [B, P+max_tokens] (EOT-padded).
+    Thin wrapper over :func:`decode` with no filters (parity tests)."""
+    return decode(model, params, mel, prompt, max_tokens, eot_id)[0]
+
+
+def decode(
+    model: WhisperModel,
+    params,
+    mel: jnp.ndarray,
+    prompt: jnp.ndarray,
+    max_tokens: int,
+    eot_id: int,
+    *,
+    suppress: tuple = (),
+    suppress_gte: int | None = None,
+    blank_ids: tuple = (),
+    no_speech_id: int | None = None,
+    temperature: float = 0.0,
+    rng=None,
+):
+    """One-program whisper decode with the reference's logit filters
+    (openai-whisper ``DecodingTask._get_logit_filters`` semantics, used by
+    the reference at ``audio-chatgpt.py:571-575``), TPU-shaped:
+
+      * ``suppress`` / ``suppress_gte`` — static −inf masks applied at EVERY
+        step (non-speech symbol ids + the special-token region above EOT);
+        baked into the compiled program, not per-step host logic.
+      * ``blank_ids`` — additionally suppressed at the FIRST sampled token
+        (whisper's ``SuppressBlank``: leading space/EOT).
+      * ``no_speech_id`` — returns p(no-speech) from the SOT position of the
+        prime forward (whisper's no-speech detection).
+      * ``temperature`` — TRACED: 0 → argmax, >0 → categorical sampling, so
+        the temperature-fallback ladder re-dispatches ONE compiled program
+        instead of compiling per temperature.
 
     The sampler loop is a ``lax.scan`` over token positions inside one jit —
     the per-step forward reuses the static KV cache (contrast: the
-    reference's python for-loop over whisper's decode). The jitted program
-    is cached per (model, max_tokens, eot_id) — building it fresh per call
-    re-traced and re-compiled the whole encoder+scan every request
-    (measured 0.95× realtime; cached it is hundreds× realtime).
+    reference's python for-loop). The program is cached per
+    (model, max_tokens, eot, masks) — building it fresh per call re-traced
+    and re-compiled the whole encoder+scan every request (measured 0.95×
+    realtime; cached it is hundreds× realtime).
+
+    Returns ``(tokens [B, P+max_tokens], avg_logprob [B],
+    no_speech_prob [B])`` — avg_logprob is the mean logprob of the sampled
+    tokens (EOT included), whisper's fallback statistic.
     """
-    return _decode_fn(model, max_tokens, eot_id)(params, mel, prompt)
+    fn = _decode_fn(model, max_tokens, eot_id, tuple(suppress),
+                    suppress_gte, tuple(blank_ids), no_speech_id)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    return fn(params, mel, prompt, jnp.float32(temperature), rng)
 
 
 @functools.lru_cache(maxsize=16)
-def _decode_fn(model: WhisperModel, max_tokens: int, eot_id: int):
+def _decode_fn(model: WhisperModel, max_tokens: int, eot_id: int,
+               suppress: tuple = (), suppress_gte: int | None = None,
+               blank_ids: tuple = (), no_speech_id: int | None = None):
     cfg = model.cfg
     heads, d = cfg.n_text_head, cfg.n_text_state // cfg.n_text_head
+    # static −inf masks (compile-time constants — XLA folds the adds)
+    base = np.zeros((cfg.n_vocab,), np.float32)
+    if suppress_gte is not None and suppress_gte < cfg.n_vocab:
+        base[suppress_gte:] = -np.inf
+    for i in suppress:
+        if 0 <= i < cfg.n_vocab:
+            base[i] = -np.inf
+    base[eot_id] = 0.0  # EOT must stay reachable
+    first = base.copy()
+    for i in blank_ids:
+        if 0 <= i < cfg.n_vocab:
+            first[i] = -np.inf
 
     @jax.jit
-    def run(params, mel, prompt):
+    def run(params, mel, prompt, temperature, rng):
         b, p = prompt.shape
         total = p + max_tokens
         xa = model.apply(params, mel, method=WhisperModel.encode)
@@ -274,22 +329,48 @@ def _decode_fn(model: WhisperModel, max_tokens: int, eot_id: int):
         logits, caches = model.apply(
             params, prompt, xa, 0, caches, method=WhisperModel.decode_step
         )
-        last = jnp.argmax(logits[:, -1], axis=-1)  # [B]
+        if no_speech_id is not None:
+            ns_prob = jax.nn.softmax(logits[:, 0], axis=-1)[:, no_speech_id]
+        else:
+            ns_prob = jnp.zeros((b,), jnp.float32)
 
-        def step(carry, i):
-            last, caches, done = carry
+        def pick(lg, key):
+            greedy = jnp.argmax(lg, axis=-1)
+            sampled = jax.random.categorical(
+                key, lg / jnp.maximum(temperature, 1e-6), axis=-1)
+            return jnp.where(temperature > 0, sampled, greedy)
+
+        k0, k_rest = jax.random.split(rng)
+        l0 = logits[:, -1] + jnp.asarray(first)
+        last = pick(l0, k0)
+        lp0 = jax.nn.log_softmax(l0, axis=-1)
+        sum_lp = jnp.take_along_axis(lp0, last[:, None], 1)[:, 0]
+        count = jnp.ones((b,), jnp.float32)
+        sup = jnp.asarray(base)
+
+        def step(carry, inp):
+            i, key = inp
+            last, caches, done, sum_lp, count = carry
             tok = jnp.where(done, eot_id, last)
             logits, caches = model.apply(
                 params, tok[:, None], xa, p + i, caches,
                 method=WhisperModel.decode_step,
             )
-            nxt = jnp.argmax(logits[:, -1], axis=-1)
+            lg = logits[:, -1] + sup
+            nxt = pick(lg, key)
+            lp = jax.nn.log_softmax(lg, axis=-1)
+            tok_lp = jnp.take_along_axis(lp, nxt[:, None], 1)[:, 0]
             done = done | (tok == eot_id)
-            return (nxt, caches, done), tok
+            sum_lp = sum_lp + jnp.where(done, 0.0, tok_lp)
+            count = count + jnp.where(done, 0.0, 1.0)
+            return (nxt, caches, done, sum_lp, count), tok
 
-        (_, _, _), toks = jax.lax.scan(
-            step, (last, caches, jnp.zeros((b,), bool)), jnp.arange(max_tokens)
+        (_, _, _, sum_lp, count), toks = jax.lax.scan(
+            step,
+            (last, caches, jnp.zeros((b,), bool), sum_lp, count),
+            (jnp.arange(max_tokens), jax.random.split(k_rest, max_tokens)),
         )
-        return jnp.concatenate([prompt, toks.T], axis=1)
+        return (jnp.concatenate([prompt, toks.T], axis=1),
+                sum_lp / count, ns_prob)
 
     return run

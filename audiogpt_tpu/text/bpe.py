@@ -352,6 +352,36 @@ class WhisperDetokenizer:
         return self.codec.decode(body).strip()
 
 
+#: whisper's non-speech symbol set (openai-whisper ``tokenizer.py
+#: non_speech_tokens`` — a published constant): bracket/quote/markup
+#: symbols and music notes whose single-token encodings are suppressed
+#: during transcription so decodes can't emit annotation artifacts.
+NON_SPEECH_SYMBOLS = (
+    list('"#()*+/:;<=>@[\\]^_`{|}~「」『』')
+    + "<< >> <<< >>> -- --- -( -[ (' (\" (( )) ((( ))) [[ ]] {{ }} "
+      "♪♪ ♪♪♪".split()
+)
+_MISC_SYMBOLS = set("♩♪♫♬♭♮♯")
+
+
+def non_speech_ids(codec) -> tuple[int, ...]:
+    """Token ids to suppress during speech decoding, computed against the
+    wired codec (ids are vocab-dependent): for each symbol, the id of its
+    single-token encoding (with and without a leading space); music-note
+    symbols are suppressed even when multi-token (their first id)."""
+    out: set[int] = set()
+    for symbol in list(NON_SPEECH_SYMBOLS) + sorted(_MISC_SYMBOLS):
+        for variant in (symbol, " " + symbol):
+            try:
+                ids = codec.encode(variant)
+            except Exception:
+                continue
+            if len(ids) == 1 or symbol in _MISC_SYMBOLS:
+                if ids:
+                    out.add(int(ids[0]))
+    return tuple(sorted(out))
+
+
 def warn_fallback(component: str, detail: str) -> None:
     """Loud, once-per-component warning for linguistically-void fallback
     tokenizers (VERDICT r2: silent prompt-dropping is the worst failure

@@ -72,19 +72,119 @@ class TestASREngine:
             n_vocab=100, n_text_ctx=16, n_text_state=32, n_text_head=2,
             n_text_layer=1, chunk_length=1,
         )
-        eng = ASREngine(cfg, max_tokens=4)
+        # temperatures=(0.0,): random weights always fail the logprob bar,
+        # so the default ladder would legitimately dispatch once per rung
+        eng = ASREngine(cfg, max_tokens=4, temperatures=(0.0,))
         calls = []
-        orig = eng.transcribe_tokens
+        orig = eng._decode_stats
 
         def spy(wav, *a, **k):
             calls.append(np.asarray(wav).shape)
             return orig(wav, *a, **k)
 
-        eng.transcribe_tokens = spy
-        # 2.5 s at the 1 s chunk_length → 3 windows padded to a 4-batch
+        eng._decode_stats = spy
+        # 2.5 s at the 1 s chunk_length, 0.25 s halo → stride 0.75 s →
+        # 3 overlapping windows padded to a 4-batch
         out = eng.transcribe(np.zeros(int(2.5 * 16000), np.float32))
         assert isinstance(out, str)
         assert len(calls) == 1 and calls[0] == (4, cfg.n_samples)
+
+    def _tiny_engine(self, **kw):
+        from audiogpt_tpu.engines.asr import ASREngine
+        from audiogpt_tpu.models.asr import WhisperConfig
+
+        cfg = WhisperConfig(
+            n_audio_ctx=50, n_audio_state=32, n_audio_head=2, n_audio_layer=1,
+            n_vocab=100, n_text_ctx=16, n_text_state=32, n_text_head=2,
+            n_text_layer=1, chunk_length=1,
+        )
+        return ASREngine(cfg, max_tokens=4, **kw)
+
+    def test_temperature_fallback_ladder(self):
+        """Rigged thresholds exhaust the ladder: every rung re-dispatches
+        the SAME program on the still-failing rows (whisper
+        decode_with_fallback semantics)."""
+        eng = self._tiny_engine(
+            temperatures=(0.0, 0.5, 1.0),
+            compression_ratio_threshold=-1.0,  # every decode "too repetitive"
+            logprob_threshold=None, no_speech_threshold=None)
+        temps = []
+        orig = eng._decode_stats
+
+        def spy(wav, *a, **k):
+            temps.append(k.get("temperature", a[2] if len(a) > 2 else 0.0))
+            return orig(wav, *a, **k)
+
+        eng._decode_stats = spy
+        out = eng.transcribe(np.zeros(16000, np.float32))
+        assert isinstance(out, str)
+        assert temps == [0.0, 0.5, 1.0]
+
+    def test_fallback_stops_when_checks_pass(self):
+        eng = self._tiny_engine(
+            temperatures=(0.0, 0.5, 1.0),
+            compression_ratio_threshold=None,  # nothing fails
+            logprob_threshold=None, no_speech_threshold=None)
+        calls = []
+        orig = eng._decode_stats
+
+        def spy(wav, *a, **k):
+            calls.append(1)
+            return orig(wav, *a, **k)
+
+        eng._decode_stats = spy
+        eng.transcribe(np.zeros(16000, np.float32))
+        assert len(calls) == 1
+
+    def test_no_speech_gate_returns_empty(self):
+        """A window whose no-speech probability beats the threshold (and
+        fails the logprob bar) contributes "" — whisper's silence skip.
+        Tiny vocab has no no-speech token, so pin the gate at _finalize."""
+        eng = self._tiny_engine(temperatures=(0.0,))
+        assert eng._finalize("anything", avg_lp=-5.0, ns_prob=0.9) == ""
+        # confident decode survives even when ns_prob is high
+        assert eng._finalize("kept", avg_lp=-0.1, ns_prob=0.9) == "kept"
+        # low ns_prob never gates
+        assert eng._finalize("kept", avg_lp=-5.0, ns_prob=0.1) == "kept"
+
+    def test_no_speech_prob_wired_for_full_vocab(self):
+        """With the multilingual vocab, the decode program returns a real
+        p(no-speech) from the SOT position (reference no_speech detection)."""
+        from audiogpt_tpu.engines.asr import NO_SPEECH, ASREngine
+        from audiogpt_tpu.models.asr import WhisperConfig
+
+        cfg = WhisperConfig(
+            n_audio_ctx=50, n_audio_state=32, n_audio_head=2, n_audio_layer=1,
+            n_vocab=51865, n_text_ctx=16, n_text_state=32, n_text_head=2,
+            n_text_layer=1, chunk_length=1,
+        )
+        eng = ASREngine(cfg, max_tokens=2, temperatures=(0.0,))
+        assert eng._filters[3] == NO_SPEECH
+        _, avg_lp, ns = eng._decode_stats(np.zeros((1, 16000), np.float32))
+        assert 0.0 < float(ns[0]) < 1.0
+
+    def test_seam_word_recovered_by_halo_join(self):
+        """A word straddling the window boundary: with overlapping windows
+        the straddler appears whole at the START of the next window; the
+        join drops the duplicated seam words instead of doubling them
+        (replaces the reference seek-loop's re-seek behavior)."""
+        eng = self._tiny_engine(temperatures=(0.0,))
+        win_texts = ["the quick brown fox",        # window 1 ends mid-"fox"
+                     "fox jumps over the dog"]     # halo re-covers "fox"
+        eng._robust_decode = lambda stack, task, lang: win_texts[: len(stack)]
+        out = eng.transcribe(np.zeros(int(1.5 * 16000), np.float32))
+        assert out == "the quick brown fox jumps over the dog"
+
+    def test_dedup_join_unit(self):
+        from audiogpt_tpu.engines.asr import dedup_join
+
+        assert dedup_join(["a b c", "b c d", "d e"]) == "a b c d e"
+        assert dedup_join(["hello", "world"]) == "hello world"
+        assert dedup_join(["x y", ""]) == "x y"
+        # case-insensitive seam match keeps the first casing
+        assert dedup_join(["The Fox", "fox runs"]) == "The Fox runs"
+        # no false dedup when seams genuinely repeat once
+        assert dedup_join(["said yes", "yes again"]) == "said yes again"
 
 
 class TestTTSEngine:

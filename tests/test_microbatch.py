@@ -118,7 +118,10 @@ def test_batched_asr_matches_single():
     cfg = WhisperConfig(n_audio_state=64, n_audio_head=2, n_audio_layer=1,
                         n_text_state=64, n_text_head=2, n_text_layer=1,
                         n_vocab=200)
-    eng = ASREngine(cfg=cfg, max_tokens=6)
+    # temperatures=(0.0,): deterministic single-rung decode — at t>0 the
+    # categorical draws are batch-shape-dependent, so single-vs-batched
+    # agreement is only pinned for the greedy rung
+    eng = ASREngine(cfg=cfg, max_tokens=6, temperatures=(0.0,))
     rng = np.random.RandomState(0)
     wavs = [(rng.randn(16000) * 0.05).astype(np.float32) for _ in range(3)]
     singles = [eng.transcribe(w) for w in wavs]

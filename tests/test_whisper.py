@@ -122,6 +122,61 @@ class TestWhisperParity:
         assert toks.shape == (2, 10)
         assert np.array_equal(np.asarray(toks[:, :2]), np.asarray(prompt))
 
+    def test_suppression_mask_pinned(self, pair):
+        """Suppressed ids can never be emitted (whisper SuppressTokens):
+        suppress everything except a tiny allowed set — the decode must emit
+        only allowed ids / EOT, and the suppress_gte region stays closed."""
+        from audiogpt_tpu.models.asr import decode
+
+        _, model, params = pair
+        mel = jnp.zeros((2, 2 * TINY.n_audio_ctx, TINY.n_mels))
+        prompt = jnp.array([[1, 2], [1, 2]], jnp.int32)
+        allowed = {5, 6, 7, 3}  # 3 = EOT
+        suppress = tuple(i for i in range(TINY.n_vocab)
+                         if i not in allowed and i < 40000)
+        toks, avg_lp, ns = decode(
+            model, params, mel, prompt, max_tokens=8, eot_id=3,
+            suppress=suppress, suppress_gte=40000)
+        body = np.asarray(toks)[:, 2:]
+        assert set(body.ravel().tolist()) <= allowed
+        assert avg_lp.shape == (2,) and np.all(np.asarray(avg_lp) <= 0)
+        assert np.allclose(np.asarray(ns), 0.0)  # no no_speech_id wired
+
+    def test_blank_suppression_first_token_only(self, pair):
+        """blank_ids (space/EOT) are barred from the FIRST sampled position
+        (whisper SuppressBlank) but stay available later — force it by
+        suppressing everything except {8, EOT}: with EOT blank-suppressed
+        the first token MUST be 8, and the decode still terminates."""
+        from audiogpt_tpu.models.asr import decode
+
+        _, model, params = pair
+        mel = jnp.zeros((1, 2 * TINY.n_audio_ctx, TINY.n_mels))
+        prompt = jnp.array([[1, 2]], jnp.int32)
+        suppress = tuple(i for i in range(40000) if i not in (8, 3))
+        toks, _, _ = decode(
+            model, params, mel, prompt, max_tokens=6, eot_id=3,
+            suppress=suppress, suppress_gte=40000, blank_ids=(3,))
+        body = np.asarray(toks)[0, 2:]
+        assert body[0] == 8            # EOT was suppressed at position 0
+        assert set(body.tolist()) <= {8, 3}
+
+    def test_temperature_is_traced_not_compiled(self, pair):
+        """t=0 (argmax) and t>0 (categorical) must share ONE compiled
+        program — the fallback ladder re-dispatches, never re-compiles."""
+        from audiogpt_tpu.models.asr import decode
+        from audiogpt_tpu.models.asr.whisper import _decode_fn
+
+        _, model, params = pair
+        mel = jnp.zeros((1, 2 * TINY.n_audio_ctx, TINY.n_mels))
+        prompt = jnp.array([[1, 2]], jnp.int32)
+        before = _decode_fn.cache_info().currsize
+        a = decode(model, params, mel, prompt, max_tokens=4, eot_id=3,
+                   temperature=0.0)
+        b = decode(model, params, mel, prompt, max_tokens=4, eot_id=3,
+                   temperature=0.8, rng=jax.random.PRNGKey(7))
+        assert _decode_fn.cache_info().currsize == before + 1
+        assert a[0].shape == b[0].shape
+
 
 class TestWhisperFrontend:
     def test_log_mel_shape_and_scale(self):
