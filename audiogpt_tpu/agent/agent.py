@@ -101,7 +101,18 @@ class ConversationAgent:
                 + SUFFIX.format(chat_history=self.history, input=text,
                                 scratchpad=scratchpad)
             )
-            out = self.llm.complete(prompt, stop=["\nObservation:"])
+            try:
+                out = self.llm.complete(prompt, stop=["\nObservation:"])
+            except Exception as e:
+                from audiogpt_tpu.agent.llm import LLMUnavailable
+
+                if not isinstance(e, LLMUnavailable):
+                    raise
+                # endpoint down after all retries: a chat-visible apology,
+                # not a 500 (history untouched so the turn can be retried)
+                return AgentResult(
+                    response=f"The language model is unavailable right now "
+                             f"({e}). Please try again.", steps=steps)
             action = re.search(r"Action:\s*(.+)", out)
             action_input = re.search(r"Action Input:\s*(.+)", out)
             final = re.search(r"AI:\s*(.*)", out, re.S)

@@ -39,8 +39,10 @@ class VocoderEngine(Engine):
         rng_seed: int = 0,
         bf16: bool = False,
     ):
-        """``bf16``: opt-in throughput mode — params + activations run in
-        bfloat16 inside the jit program (f32 in/out). The generator is
+        """``bf16``: opt-in throughput mode — the param tree is cast to
+        bfloat16 ONCE at construction (so bf16 parameter bytes stream from
+        HBM, not f32 re-cast per dispatch) and activations run in bfloat16
+        inside the jit program (f32 in/out). The generator is
         HBM-bandwidth-bound (BASELINE.md roofline: AI 65 ≪ 240 at batch 8),
         so halving the byte streams buys ~1.4× measured on v5e at ~39 dB
         SNR vs the f32 output of the same weights. Off by default: f32 is
@@ -76,18 +78,16 @@ class VocoderEngine(Engine):
                 )
             else:
                 params = self.model.init(jax.random.PRNGKey(rng_seed), dummy)
-        self.params = params
         self.bucketer = Bucketer(buckets)
         self._rng = jax.random.PRNGKey(rng_seed)
-
         self.bf16 = bf16
-
-        def _cast(p):
-            if not bf16:
-                return p
-            return jax.tree.map(
-                lambda a: a.astype(jnp.bfloat16)
-                if a.dtype == jnp.float32 else a, p)
+        # the params SETTER keeps the bf16 dispatch copy in sync (ckpt
+        # loading assigns engine.params directly); casting once here instead
+        # of inside the jitted program means the generator streams bf16
+        # parameter bytes from HBM — in-program casts still read the f32
+        # tree every dispatch, halving only activation bytes (ADVICE r3).
+        # self.params stays f32: the parity and fused-TTS paths use it.
+        self.params = params
 
         def _io(m):
             return m.astype(jnp.bfloat16) if bf16 else m
@@ -95,11 +95,25 @@ class VocoderEngine(Engine):
         if kind == "hifigan" and self.cfg.use_nsf:
             self._fn = jax.jit(
                 lambda p, m, f0, k: self.model.apply(
-                    _cast(p), _io(m), _io(f0), rng=k).astype(jnp.float32)
+                    p, _io(m), _io(f0), rng=k).astype(jnp.float32)
             )
         else:
             self._fn = jax.jit(lambda p, m: self.model.apply(
-                _cast(p), _io(m)).astype(jnp.float32))
+                p, _io(m)).astype(jnp.float32))
+
+    @property
+    def params(self):
+        return self._params
+
+    @params.setter
+    def params(self, p):
+        self._params = p
+        if self.bf16:
+            self._run_params = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, p)
+        else:
+            self._run_params = p
 
     @property
     def hop_size(self) -> int:
@@ -124,9 +138,10 @@ class VocoderEngine(Engine):
                 f0 = f0[None]
             f0p, _ = self.bucketer.pad_to_bucket(np.asarray(f0, np.float32), axis=1)
             self._rng, k = jax.random.split(self._rng)
-            wav = self._fn(self.params, jnp.asarray(padded), jnp.asarray(f0p), k)
+            wav = self._fn(self._run_params, jnp.asarray(padded),
+                           jnp.asarray(f0p), k)
         else:
-            wav = self._fn(self.params, jnp.asarray(padded))
+            wav = self._fn(self._run_params, jnp.asarray(padded))
         wav = np.asarray(wav)[:, : true_len * self.hop_size]
         return wav[0] if squeeze else wav
 

@@ -127,7 +127,8 @@ class Trainer:
             restored = self.store.restore(target, step)
         except Exception as second_err:
             # not EMA-layout drift (shape mismatch, corrupt dir, ...):
-            # surface the ORIGINAL failure, not the legacy-path one
+            # raise the legacy-path error with the original failure chained
+            # as its cause, so both restore attempts are visible
             raise second_err from first_err
         ema = {g: restored.get("ema", {}).get(
                    g, jax.tree.map(jnp.array, restored["params"][g]))

@@ -150,3 +150,87 @@ class TestMediaPaths:
         p = new_media_path("audio")
         assert p.startswith("audio/") and p.endswith(".wav")
         assert len(p.split("/")[1].split(".")[0]) == 8
+
+
+class TestOpenAICompatRetry:
+    """Bounded retry/backoff on 429/5xx/URLError (VERDICT r3 weak #6); a
+    flaky endpoint recovers, a dead one surfaces as a chat-visible message
+    instead of a handler 500."""
+
+    def _serve(self, behaviors):
+        """One-shot HTTP server: each request pops the next behavior —
+        int → that HTTP status; str → 200 with that content."""
+        import http.server
+        import json
+        import threading
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                b = behaviors.pop(0)
+                if isinstance(b, int):
+                    self.send_error(b)
+                    return
+                body = json.dumps({"choices": [{"message": {"content": b}}]}
+                                  ).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        return httpd
+
+    def test_retries_past_transient_5xx_and_429(self):
+        from audiogpt_tpu.agent.llm import OpenAICompatLLM
+
+        httpd = self._serve([503, 429, "recovered"])
+        try:
+            slept = []
+            llm = OpenAICompatLLM(
+                f"http://127.0.0.1:{httpd.server_address[1]}",
+                max_retries=3, backoff_s=0.01, _sleep=slept.append)
+            assert llm.complete("hi") == "recovered"
+            assert len(slept) == 2          # one backoff per failure
+            assert slept[1] > slept[0] * 1.2  # exponential growth (±jitter)
+        finally:
+            httpd.shutdown()
+
+    def test_non_retryable_4xx_raises_immediately(self):
+        import urllib.error
+
+        import pytest
+
+        from audiogpt_tpu.agent.llm import OpenAICompatLLM
+
+        httpd = self._serve([401, "never reached"])
+        try:
+            llm = OpenAICompatLLM(
+                f"http://127.0.0.1:{httpd.server_address[1]}",
+                max_retries=3, backoff_s=0.01, _sleep=lambda s: None)
+            with pytest.raises(urllib.error.HTTPError):
+                llm.complete("hi")
+        finally:
+            httpd.shutdown()
+
+    def test_exhausted_retries_become_chat_visible_message(self, tmp_path):
+        from audiogpt_tpu.agent.agent import ConversationAgent
+        from audiogpt_tpu.agent.llm import LLMUnavailable, OpenAICompatLLM
+        from audiogpt_tpu.agent.toolset import build_toolset
+
+        import pytest
+
+        # closed port → URLError every attempt
+        llm = OpenAICompatLLM("http://127.0.0.1:9", max_retries=1,
+                              backoff_s=0.01, _sleep=lambda s: None)
+        with pytest.raises(LLMUnavailable):
+            llm.complete("hi")
+
+        agent = ConversationAgent(llm, build_toolset({}, root=str(tmp_path)))
+        result = agent.run_text("hello")
+        assert "unavailable" in result.response
+        assert agent.history == ""  # turn not recorded → retryable
