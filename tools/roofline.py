@@ -111,6 +111,51 @@ def ldm_train(bf16: bool = False, remat: bool = True):
     print(json.dumps(r))
 
 
+def asr_decode(max_tokens: int = 32, batch: int = 1):
+    """Whisper e2e transcription roofline (VERDICT r3 next #7): the EXACT
+    program behind the 212× RTFx row — log-mel + encoder + prime +
+    ``max_tokens``-step KV-cached scan decode as ONE compiled unit
+    (``whisper.py _decode_fn``). Also compiles the encoder alone so the
+    decode scan's share of flops/bytes can be apportioned: the scan's AI
+    says whether per-token decoder-weight streaming (HBM) or the MXU is
+    the bound at this batch size."""
+    import jax
+    import jax.numpy as jnp
+
+    from audiogpt_tpu.engines.asr import ASREngine
+    from audiogpt_tpu.models.asr.whisper import WhisperModel, _decode_fn
+
+    eng = ASREngine(max_tokens=max_tokens, temperatures=(0.0,))
+    cfg = eng.cfg
+    mel = jnp.zeros((batch, 2 * cfg.n_audio_ctx, cfg.n_mels))
+    prompt = jnp.tile(jnp.asarray(eng.sot_sequence(), jnp.int32)[None],
+                      (batch, 1))
+    sup, gte, blanks, nsid = eng._filters
+    fn = _decode_fn(eng.model, max_tokens, eng.eot, tuple(sup), gte,
+                    tuple(blanks), nsid)
+    compiled = fn.lower(eng.params, mel, prompt, jnp.float32(0.0),
+                        jax.random.PRNGKey(0)).compile()
+    r = analyze(compiled)
+
+    enc = jax.jit(lambda p, m: eng.model.apply(
+        p, m, method=WhisperModel.encode))
+    r_enc = analyze(enc.lower(eng.params, mel).compile())
+    r["metric"] = f"whisper_e2e_decode_b{batch}_t{max_tokens}_roofline"
+    r["encoder_flops"] = r_enc.get("flops")
+    r["encoder_bytes"] = r_enc.get("bytes")
+    if r.get("flops") and r_enc.get("flops"):
+        dec_fl = r["flops"] - r_enc["flops"]
+        dec_by = r["bytes"] - r_enc["bytes"]
+        r["decode_scan_flops_share"] = round(dec_fl / r["flops"], 4)
+        r["decode_scan_bytes_share"] = round(dec_by / r["bytes"], 4)
+        if dec_by > 0:
+            r["decode_scan_ai"] = round(dec_fl / dec_by, 3)
+            if "ai_critical" in r:
+                r["decode_scan_mfu_ceiling_bw"] = round(
+                    min(1.0, (dec_fl / dec_by) / r["ai_critical"]), 4)
+    print(json.dumps(r))
+
+
 if __name__ == "__main__":
     import argparse
 
@@ -128,3 +173,6 @@ if __name__ == "__main__":
         ldm_train()
         ldm_train(bf16=True)
         ldm_train(bf16=True, remat=False)
+    if a.suite in ("all", "asr"):
+        asr_decode(batch=1)
+        asr_decode(batch=4)

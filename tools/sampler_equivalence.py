@@ -43,16 +43,22 @@ import jax
 
 def clap_equivalence(n_seeds: int = 3, sampler: str = "dpmpp",
                      steps: int = 12, n_candidates: int = 3,
+                     scorer_dir: str | None = None,
                      prompts=("a dog barking",
                               "rain falling on a tin roof",
                               "a siren passing by",
                               "birds chirping in a forest",
                               "a crowd applauding in a hall")):
     """Best-of-n CLAP-score equivalence: DDIM-100 vs the fast sampler on
-    identical weights/seeds, scored by the in-repo CLAPScorer (random
-    perturbed weights — the comparison is sampler-vs-sampler on a fixed
-    scoring function, not audio quality). Reports per-candidate score
-    deltas vs cross-seed spread + winner agreement."""
+    identical weights/seeds, scored by the in-repo CLAPScorer. With
+    ``scorer_dir`` (output of ``tools/train_tiny_clap.py``) the scorer is a
+    TRAINED CLAP whose held-out retrieval beats chance — the shape of the
+    reference's own acceptance metric (``select_best_audio``,
+    audio-chatgpt.py:185-199, trained CLAP). Without it, random perturbed
+    weights: still a valid sampler-vs-sampler consistency statistic on a
+    fixed scoring function, but rankings are non-semantic (state which one
+    in BASELINE.md). Reports per-candidate score deltas vs cross-seed
+    spread + winner agreement."""
     jax.config.update("jax_compilation_cache_dir", "/tmp/audiogpt_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import warnings
@@ -66,7 +72,28 @@ def clap_equivalence(n_seeds: int = 3, sampler: str = "dpmpp",
 
     warnings.filterwarnings("ignore", message=r"\[WordPieceTokenizer\].*")
     voc = VocoderEngine("bigvgan", buckets=(624,))
-    scorer = CLAPScorer(sample_rate=16000)
+    scorer_kind = "random-perturbed"
+    if scorer_dir:
+        from audiogpt_tpu.import_ckpt import restore_params
+        from audiogpt_tpu.models.textenc.bert import BertConfig
+        from audiogpt_tpu.models.textenc.clap import CLAPTextConfig
+
+        with open(f"{scorer_dir}/meta.json") as f:
+            meta = json.load(f)
+        saved = restore_params(f"{scorer_dir}/params")
+        # saved towers are full flax variable dicts ({"params": ...} plus
+        # batch_stats for the Cnn14 audio backbone)
+        scorer = CLAPScorer(
+            text_cfg=CLAPTextConfig(bert=BertConfig(**meta["bert"]),
+                                    d_proj=meta["d_proj"],
+                                    max_length=meta["max_length"]),
+            text_params=saved["text"],
+            audio_params=saved["audio"],
+            sample_rate=meta.get("sample_rate", 16000))
+        scorer_kind = (f"trained (holdout retrieval "
+                       f"{meta.get('holdout_retrieval_acc')})")
+    else:
+        scorer = CLAPScorer(sample_rate=16000)
     eng = T2AEngine(T2AConfig(), vocoder=voc, scorer=scorer)
 
     def perturb(params, key):
@@ -78,8 +105,9 @@ def clap_equivalence(n_seeds: int = 3, sampler: str = "dpmpp",
             for l, r in zip(leaves, rngs)])
 
     eng.params = perturb(eng.params, 7)
-    scorer.text_params = perturb(scorer.text_params, 8)
-    scorer.audio_params = perturb(scorer.audio_params, 9)
+    if not scorer_dir:  # never perturb a trained scorer
+        scorer.text_params = perturb(scorer.text_params, 8)
+        scorer.audio_params = perturb(scorer.audio_params, 9)
 
     # scores[sampler_name][prompt][seed] = [n_candidates] CLAP similarities
     scores = {"ddim": {}, sampler: {}}
@@ -108,6 +136,7 @@ def clap_equivalence(n_seeds: int = 3, sampler: str = "dpmpp",
                            for j in range(i + 1, n_seeds)]))
     print(json.dumps({
         "metric": f"t2a_{sampler}{steps}_vs_ddim100_clap_score",
+        "scorer": scorer_kind,
         "same_seed_score_delta": round(same, 5),
         "cross_seed_score_spread": round(cross, 5),
         "ratio": round(same / max(cross, 1e-9), 4),
@@ -169,8 +198,12 @@ if __name__ == "__main__":
     p.add_argument("--clap", action="store_true",
                    help="CLAP-score equivalence (the reference's acceptance "
                         "metric) instead of mel L1")
+    p.add_argument("--scorer", default=None, metavar="DIR",
+                   help="trained tiny-CLAP dir from tools/train_tiny_clap.py"
+                        " (otherwise random perturbed weights)")
     a = p.parse_args()
     if a.clap:
-        clap_equivalence(a.n_seeds, a.sampler or "dpmpp", a.steps or 12)
+        clap_equivalence(a.n_seeds, a.sampler or "dpmpp", a.steps or 12,
+                         scorer_dir=a.scorer)
     else:
         main(a.n_seeds, a.sampler or "plms", a.steps or 25)
