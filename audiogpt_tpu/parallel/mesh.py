@@ -74,8 +74,15 @@ def distributed_init(
 ) -> None:
     """Multi-host bring-up. On TPU pods with standard env vars the arguments
     are auto-detected; this replaces the reference's MASTER_ADDR/NCCL
-    rendezvous (``base_task.py:283-291``)."""
-    if jax.process_count() > 1:
+    rendezvous (``base_task.py:283-291``).
+
+    NOTE: the already-initialized probe must NOT touch the backend —
+    ``jax.process_count()`` would lazily initialize it single-process and
+    make the subsequent ``jax.distributed.initialize`` raise (found by
+    ``tests/test_multihost.py``). With explicit arguments a failure is a
+    real bring-up error and propagates; only the zero-arg auto-detect path
+    degrades silently to single-process."""
+    if jax.distributed.is_initialized():
         return  # already initialized
     kw: dict[str, Any] = {}
     if coordinator_address:
@@ -84,8 +91,10 @@ def distributed_init(
             num_processes=num_processes,
             process_id=process_id,
         )
-    try:
         jax.distributed.initialize(**kw)
+        return
+    try:
+        jax.distributed.initialize()
     except (ValueError, RuntimeError):
         # single-process run (tests, single chip) — nothing to do
         pass
