@@ -204,12 +204,14 @@ class CLAPAudioEncoder(nn.Module):
     shared Cnn14 backbone) → projected ``[B, d_proj]`` embedding."""
 
     d_proj: int = 1024
+    cnn14: object | None = None  # Cnn14Config override; None = ckpt layout
 
     @nn.compact
     def __call__(self, wav, wav_len=None):
         from audiogpt_tpu.models.caption.cnn14 import Cnn14Config, Cnn14Encoder
 
-        enc = Cnn14Encoder(Cnn14Config(), name="backbone")(wav, wav_len)
+        cfg = self.cnn14 if self.cnn14 is not None else Cnn14Config()
+        enc = Cnn14Encoder(cfg, name="backbone")(wav, wav_len)
         return Projection(self.d_proj, name="projection")(enc["fc_emb"])
 
 
@@ -224,8 +226,11 @@ class CLAPScorer:
                  audio_cfg=None, rng_seed: int = 0):
         """``audio_tower``: 'pann' (Cnn14) or 'htsat' (Swin-audio) — the two
         towers the reference's open_clap factory selects between.
-        ``audio_cfg``: optional HTSATConfig override (defaults to the
-        HTSAT-tiny checkpoint layout with ``d_proj`` from the text cfg)."""
+        ``audio_cfg``: optional tower-config override — an HTSATConfig for
+        'htsat' (defaults to the HTSAT-tiny checkpoint layout with ``d_proj``
+        from the text cfg) or a Cnn14Config for 'pann' (defaults to the PANN
+        checkpoint layout; narrow configs come from tools/train_tiny_clap.py
+        artifacts)."""
         self.cfg = text_cfg or CLAPTextConfig()
         self.text = CLAPTextEncoder(self.cfg)
         if audio_tower == "htsat":
@@ -241,7 +246,7 @@ class CLAPScorer:
                 audio_cfg = _dc.replace(audio_cfg, d_proj=self.cfg.d_proj)
             self.audio = HTSATAudioEncoder(audio_cfg)
         else:
-            self.audio = CLAPAudioEncoder(self.cfg.d_proj)
+            self.audio = CLAPAudioEncoder(self.cfg.d_proj, cnn14=audio_cfg)
         self.tokenizer = tokenizer or WordPieceTokenizer(
             vocab_size=self.cfg.bert.vocab_size)
         self.sample_rate = sample_rate

@@ -35,10 +35,12 @@ class CLAPModel(nn.Module):
 
     text_cfg: CLAPTextConfig
     d_proj: int = 1024
+    audio_cfg: object | None = None  # Cnn14Config override (None = ckpt layout)
 
     def setup(self):
         self.text_tower = CLAPTextEncoder(self.text_cfg, name="text")
-        self.audio_tower = CLAPAudioEncoder(self.d_proj, name="audio")
+        self.audio_tower = CLAPAudioEncoder(self.d_proj, cnn14=self.audio_cfg,
+                                            name="audio")
         init = nn.initializers.constant(jnp.log(1.0 / 0.07))
         self.logit_scale = self.param("logit_scale", init, ())
 
@@ -54,6 +56,10 @@ class CLAPModel(nn.Module):
 class CLAPTaskConfig:
     text: CLAPTextConfig = CLAPTextConfig()
     d_proj: int = 1024
+    #: optional Cnn14Config for the audio tower (None = PANN ckpt layout);
+    #: narrow towers keep CPU-mesh tests/tools inside XLA's 40 s in-process
+    #: collective-rendezvous termination window on starved hosts.
+    audio: object | None = None
     optim: OptimConfig = OptimConfig(
         optimizer="adamw", lr=1e-4, schedule="constant", beta2=0.98,
         weight_decay=0.0)
@@ -65,12 +71,12 @@ class CLAPTask:
 
     def __init__(self, cfg: CLAPTaskConfig):
         self.cfg = cfg
-        self.model = CLAPModel(cfg.text, cfg.d_proj)
+        self.model = CLAPModel(cfg.text, cfg.d_proj, cfg.audio)
 
     def init_params(self, rng: jax.Array) -> dict:
         # ≥ 32×hop samples so the Cnn14 tower keeps ≥1 frame after pooling
         params = self.model.init(
-            rng, jnp.zeros((1, 32000)), jnp.ones((1, 8), jnp.int32),
+            rng, jnp.zeros((1, 10240)), jnp.ones((1, 8), jnp.int32),
             jnp.ones((1, 8), jnp.int32))
         return {"model": params}
 

@@ -17,18 +17,24 @@ from audiogpt_tpu.train.tasks import CLAPTask, CLAPTaskConfig
 
 
 def _tiny_task():
+    from audiogpt_tpu.models.caption.cnn14 import Cnn14Config
     from audiogpt_tpu.models.textenc.bert import BertConfig
 
     tc = CLAPTextConfig(
         bert=BertConfig(vocab_size=200, hidden_size=32, num_layers=1,
                         num_heads=2, intermediate_size=64),
         d_proj=16)
+    # narrow audio tower: the full 64→2048-channel Cnn14 made each step take
+    # ~60 s on the 1-core CI host, staggering the 8 device threads past XLA
+    # CPU's 40 s in-process all-gather rendezvous termination window
+    # (rendezvous.cc F-abort) — the contrastive mechanics are width-agnostic
     return CLAPTask(CLAPTaskConfig(
         text=tc, d_proj=16,
+        audio=Cnn14Config(channels=(8, 8, 16, 16, 32, 32)),
         optim=OptimConfig(schedule="constant", lr=2e-3)))
 
 
-def _batch(rng, b=8, t=16000, l=8):
+def _batch(rng, b=8, t=10240, l=8):
     return {
         "wav": rng.normal(size=(b, t)).astype(np.float32) * 0.1,
         "text_ids": rng.integers(3, 200, (b, l)).astype(np.int32),

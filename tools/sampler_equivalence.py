@@ -81,6 +81,11 @@ def clap_equivalence(n_seeds: int = 3, sampler: str = "dpmpp",
         with open(f"{scorer_dir}/meta.json") as f:
             meta = json.load(f)
         saved = restore_params(f"{scorer_dir}/params")
+        audio_cfg = None
+        if meta.get("cnn14_channels"):
+            from audiogpt_tpu.models.caption.cnn14 import Cnn14Config
+
+            audio_cfg = Cnn14Config(channels=tuple(meta["cnn14_channels"]))
         # saved towers are full flax variable dicts ({"params": ...} plus
         # batch_stats for the Cnn14 audio backbone)
         scorer = CLAPScorer(
@@ -88,7 +93,7 @@ def clap_equivalence(n_seeds: int = 3, sampler: str = "dpmpp",
                                     d_proj=meta["d_proj"],
                                     max_length=meta["max_length"]),
             text_params=saved["text"],
-            audio_params=saved["audio"],
+            audio_params=saved["audio"], audio_cfg=audio_cfg,
             sample_rate=meta.get("sample_rate", 16000))
         scorer_kind = (f"trained (holdout retrieval "
                        f"{meta.get('holdout_retrieval_acc')})")

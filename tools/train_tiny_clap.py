@@ -98,11 +98,16 @@ def main():
     ap.add_argument("--out", default="/tmp/tiny_clap")
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--holdout", type=int, default=5, help="eval clips/class")
+    ap.add_argument("--channels", default="32,64,128,128,256,256",
+                    help="Cnn14 tower widths (8 synthetic classes don't need "
+                         "the 2048-ch checkpoint layout; narrower trains "
+                         "faster and the width is recorded in meta.json)")
     args = ap.parse_args()
 
     import jax
 
     from audiogpt_tpu.import_ckpt import save_params
+    from audiogpt_tpu.models.caption.cnn14 import Cnn14Config
     from audiogpt_tpu.models.textenc.bert import BertConfig
     from audiogpt_tpu.models.textenc.clap import (CLAPScorer, CLAPTextConfig,
                                                   WordPieceTokenizer)
@@ -114,10 +119,12 @@ def main():
                 intermediate_size=128, max_position=32)
     text_cfg = CLAPTextConfig(bert=BertConfig(**bert), d_proj=64,
                               max_length=24)
+    channels = tuple(int(c) for c in args.channels.split(","))
+    audio_cfg = Cnn14Config(channels=channels)
     tok = WordPieceTokenizer()           # bundled derived vocab
     assert tok.derived, "bundled wordpiece vocab missing"
     task = CLAPTask(CLAPTaskConfig(
-        text=text_cfg, d_proj=64,
+        text=text_cfg, d_proj=64, audio=audio_cfg,
         optim=OptimConfig(optimizer="adamw", lr=2e-4, schedule="constant",
                           beta2=0.98, weight_decay=0.0)))
 
@@ -146,7 +153,7 @@ def main():
     text_vars, audio_vars = tower_vars("text"), tower_vars("audio")
     scorer = CLAPScorer(text_cfg=text_cfg,
                         text_params=text_vars,
-                        audio_params=audio_vars,
+                        audio_params=audio_vars, audio_cfg=audio_cfg,
                         tokenizer=tok, sample_rate=SR)
 
     # held-out retrieval: NEW audio draws (fresh rng) against all 8 prompts.
@@ -168,6 +175,7 @@ def main():
                 os.path.join(args.out, "params"))
     with open(os.path.join(args.out, "meta.json"), "w") as f:
         json.dump({"bert": bert, "d_proj": 64, "max_length": 24,
+                   "cnn14_channels": list(channels),
                    "sample_rate": SR, "steps": args.steps,
                    "holdout_retrieval_acc": acc}, f)
     print(json.dumps({"metric": "tiny_clap_holdout_retrieval_acc",
