@@ -283,6 +283,13 @@ def main(argv=None):
                     help="load an orbax params dir (import_ckpt / trainer "
                          "output) into an engine, e.g. --ckpt tts=ckpt/fs2 "
                          "(repeatable)")
+    ap.add_argument("--asr-fast", action="store_true",
+                    help="single-pass ASR decode (temperatures=(0.0,)): "
+                         "skips whisper's temperature-fallback ladder. Use "
+                         "for demos on random/untrained weights, where "
+                         "every decode fails the trained-model logprob bar "
+                         "by construction and the default ladder pays all "
+                         "6 rungs per speech turn")
     ap.add_argument("--vocab", action="append", default=[],
                     metavar="ENGINE=PATH",
                     help="wire a tokenizer vocab into an engine: whisper "
@@ -311,6 +318,8 @@ def main(argv=None):
 
         llm = ScriptedLLM([])  # echo/demo mode: always answers directly
     engines = build_engines(args.engines)
+    if args.asr_fast and "asr" in engines:
+        engines["asr"].temperatures = (0.0,)
     load_engine_ckpts(engines, args.ckpt)
     load_engine_vocabs(engines, args.vocab)
     if args.microbatch is not None:

@@ -69,20 +69,29 @@ def split_for_buckets(frontend, text: str, fits) -> list[str]:
     return out
 
 
-def synthesize_stream(engine, text: str, gap_sec: float = 0.1):
+def synthesize_stream(engine, text: str, gap_sec: float = 0.1,
+                      max_phones: int | None = None):
     """Yield wav chunks (float32 [T] @ ``engine.sample_rate``) as soon as
     each clause chunk is synthesized — time-to-first-audio is one chunk's
     latency instead of the whole utterance's. ``synthesize_long`` is the
     concatenation of this stream; the HTTP ``/tts/stream`` endpoint sends
-    it as a progressive WAV."""
-    max_phones = max(engine.ph_bucketer.buckets
+    it as a progressive WAV.
+
+    ``max_phones`` caps the phones per chunk: without it, clauses greedily
+    pack up to the LARGEST bucket (throughput mode — right for
+    ``synthesize_long``), which makes short multi-clause texts a single
+    chunk and TTFA the full utterance's wall. Streaming callers pass a
+    small cap (the server's ``chunk_phones``, default 64) so the first
+    chunk — and TTFA — is one clause, not the whole text."""
+    bucket_cap = max(engine.ph_bucketer.buckets
                      if hasattr(engine, "ph_bucketer")
                      else engine.bucketer.buckets)
+    phone_cap = min(bucket_cap, max_phones) if max_phones else bucket_cap
     max_words = max(engine.word_bucketer.buckets) \
         if hasattr(engine, "word_bucketer") else None
 
     def fits(pt) -> bool:
-        if len(pt.phones) > max_phones:
+        if len(pt.phones) > phone_cap:
             return False
         # +2: engines may add <BOS>/<EOS> words around pt.words
         return max_words is None or len(pt.words) + 2 <= max_words

@@ -116,10 +116,16 @@ class MHA(nn.Module):
         if cache is not None:
             new_cache = cache.update(k, v)
             k, v = new_cache.k, new_cache.v
-            # valid-length mask over the cache
-            t_k = k.shape[1]
-            pos = jnp.arange(t_k)[None, None, None, :]
-            mask = pos < new_cache.index
+            # causal valid-length mask over the cache: query j of this chunk
+            # may see cache entries up to its own global position — the
+            # multi-token prime (SOT prompt in one call) must NOT let
+            # position 0 attend to later prompt tokens, or the no-speech /
+            # language probabilities read at the SOT position become
+            # non-causal (they differ from whisper's single-forward values)
+            t_q = x.shape[1]
+            pos = jnp.arange(k.shape[1])[None, None, None, :]
+            q_pos = new_cache.index - t_q + jnp.arange(t_q)
+            mask = pos <= q_pos[None, None, :, None]
         out = attention(q, k, v, mask=mask, is_causal=is_causal and cache is None)
         b, t, _, _ = out.shape
         out = self.out_proj(out.reshape(b, t, self.d_model))
@@ -264,6 +270,10 @@ def decode(
     no_speech_id: int | None = None,
     temperature: float = 0.0,
     rng=None,
+    lang_range: tuple | None = None,
+    timestamps: bool = False,
+    timestamp_begin: int | None = None,
+    max_initial_timestamp: int | None = 50,
 ):
     """One-program whisper decode with the reference's logit filters
     (openai-whisper ``DecodingTask._get_logit_filters`` semantics, used by
@@ -279,6 +289,21 @@ def decode(
       * ``temperature`` — TRACED: 0 → argmax, >0 → categorical sampling, so
         the temperature-fallback ladder re-dispatches ONE compiled program
         instead of compiling per temperature.
+      * ``lang_range`` — ``(base_id, n_langs)``: additionally return the
+        softmax over the language-token block at the SOT position of the
+        prime forward (whisper ``detect_language`` — the reference runs it
+        at ``audio-chatgpt.py:570-571``). Costs one softmax; rides the same
+        program.
+      * ``timestamps`` + ``timestamp_begin`` — whisper's timestamp-token
+        decode mode (``DecodingOptions()`` default, the ``transcribe()``
+        path at ``audio-chatgpt.py:573-575``): tokens ≥ ``timestamp_begin``
+        are segment-time markers. The ``ApplyTimestampRules`` constraints
+        are carried scan state + vectorized masks — the first sampled token
+        must be a timestamp (≤ ``max_initial_timestamp`` ticks), timestamps
+        pair up (after a lone closing timestamp only a timestamp/EOT may
+        follow; after an opening pair, text), never decrease, and when the
+        total timestamp probability beats every text token the step is
+        forced to a timestamp.
 
     The sampler loop is a ``lax.scan`` over token positions inside one jit —
     the per-step forward reuses the static KV cache (contrast: the
@@ -288,11 +313,14 @@ def decode(
     realtime; cached it is hundreds× realtime).
 
     Returns ``(tokens [B, P+max_tokens], avg_logprob [B],
-    no_speech_prob [B])`` — avg_logprob is the mean logprob of the sampled
-    tokens (EOT included), whisper's fallback statistic.
+    no_speech_prob [B], lang_probs [B, n_langs])`` — avg_logprob is the mean
+    logprob of the sampled tokens (EOT included), whisper's fallback
+    statistic; lang_probs is ``[B, 0]`` when ``lang_range`` is None.
     """
     fn = _decode_fn(model, max_tokens, eot_id, tuple(suppress),
-                    suppress_gte, tuple(blank_ids), no_speech_id)
+                    suppress_gte, tuple(blank_ids), no_speech_id,
+                    lang_range, timestamps, timestamp_begin,
+                    max_initial_timestamp)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     return fn(params, mel, prompt, jnp.float32(temperature), rng)
@@ -301,9 +329,18 @@ def decode(
 @functools.lru_cache(maxsize=16)
 def _decode_fn(model: WhisperModel, max_tokens: int, eot_id: int,
                suppress: tuple = (), suppress_gte: int | None = None,
-               blank_ids: tuple = (), no_speech_id: int | None = None):
+               blank_ids: tuple = (), no_speech_id: int | None = None,
+               lang_range: tuple | None = None, timestamps: bool = False,
+               timestamp_begin: int | None = None,
+               max_initial_timestamp: int | None = 50):
     cfg = model.cfg
     heads, d = cfg.n_text_head, cfg.n_text_state // cfg.n_text_head
+    ts_begin = timestamp_begin
+    if timestamps:
+        if ts_begin is None or not (eot_id < ts_begin < cfg.n_vocab):
+            raise ValueError(
+                f"timestamp decode needs eot < timestamp_begin < n_vocab "
+                f"(got {ts_begin}, eot {eot_id}, vocab {cfg.n_vocab})")
     # static −inf masks (compile-time constants — XLA folds the adds)
     base = np.zeros((cfg.n_vocab,), np.float32)
     if suppress_gte is not None and suppress_gte < cfg.n_vocab:
@@ -311,11 +348,25 @@ def _decode_fn(model: WhisperModel, max_tokens: int, eot_id: int,
     for i in suppress:
         if 0 <= i < cfg.n_vocab:
             base[i] = -np.inf
+    if timestamps:
+        # the timestamp region must stay reachable; <|notimestamps|>
+        # (directly below it) must not (whisper ApplyTimestampRules.apply)
+        base[ts_begin:] = 0.0
+        if ts_begin - 1 != eot_id:
+            base[ts_begin - 1] = -np.inf
     base[eot_id] = 0.0  # EOT must stay reachable
     first = base.copy()
     for i in blank_ids:
         if 0 <= i < cfg.n_vocab:
             first[i] = -np.inf
+    if timestamps:
+        # the first sampled token must be a timestamp, capped at the
+        # max_initial_timestamp option (whisper default 1 s = 50 ticks)
+        first[:ts_begin] = -np.inf
+        if max_initial_timestamp is not None:
+            first[ts_begin + max_initial_timestamp + 1:] = -np.inf
+    is_ts_vec = np.arange(cfg.n_vocab) >= (ts_begin if timestamps
+                                           else cfg.n_vocab)
 
     @jax.jit
     def run(params, mel, prompt, temperature, rng):
@@ -333,6 +384,11 @@ def _decode_fn(model: WhisperModel, max_tokens: int, eot_id: int,
             ns_prob = jax.nn.softmax(logits[:, 0], axis=-1)[:, no_speech_id]
         else:
             ns_prob = jnp.zeros((b,), jnp.float32)
+        if lang_range is not None:
+            lb, ln = lang_range
+            lang_probs = jax.nn.softmax(logits[:, 0, lb:lb + ln], axis=-1)
+        else:
+            lang_probs = jnp.zeros((b, 0), jnp.float32)
 
         def pick(lg, key):
             greedy = jnp.argmax(lg, axis=-1)
@@ -347,30 +403,74 @@ def _decode_fn(model: WhisperModel, max_tokens: int, eot_id: int,
         sum_lp = jnp.take_along_axis(lp0, last[:, None], 1)[:, 0]
         count = jnp.ones((b,), jnp.float32)
         sup = jnp.asarray(base)
+        is_ts = jnp.asarray(is_ts_vec)
+        vocab_ids = jnp.arange(cfg.n_vocab)
+
+        def apply_ts_rules(lg, last, prev_ts, max_ts):
+            """whisper ApplyTimestampRules as batch-vectorized masks over
+            carried state — ``prev_ts``: was the token before ``last`` a
+            timestamp; ``max_ts``: largest timestamp sampled so far."""
+            last_ts = last >= ts_begin
+            # after an opening pair (..ts ts) text must follow; after a lone
+            # closing timestamp (..text ts) only a timestamp/EOT may follow
+            pair = last_ts & prev_ts
+            lone = last_ts & ~prev_ts
+            lg = jnp.where(pair[:, None] & is_ts[None, :], -jnp.inf, lg)
+            lg = jnp.where(lone[:, None] & (vocab_ids < eot_id)[None, :],
+                           -jnp.inf, lg)
+            # timestamps never decrease (equality allowed only when closing
+            # re-opens at the same tick, i.e. directly after a lone close)
+            bound = jnp.where(lone, max_ts, max_ts + 1)
+            lg = jnp.where(is_ts[None, :]
+                           & (vocab_ids[None, :] < bound[:, None]),
+                           -jnp.inf, lg)
+            # if total timestamp probability beats every text token, force a
+            # timestamp (computed on the already-masked logits, so a fully
+            # suppressed timestamp region can never force itself)
+            lp = jax.nn.log_softmax(lg, axis=-1)
+            ts_lp = jax.nn.logsumexp(
+                jnp.where(is_ts[None, :], lp, -jnp.inf), axis=-1)
+            txt_max = jnp.max(jnp.where(is_ts[None, :], -jnp.inf, lp),
+                              axis=-1)
+            force = ts_lp > txt_max
+            return jnp.where(force[:, None] & ~is_ts[None, :], -jnp.inf, lg)
 
         def step(carry, inp):
             i, key = inp
-            last, caches, done, sum_lp, count = carry
+            last, caches, done, sum_lp, count, prev_ts, max_ts = carry
             tok = jnp.where(done, eot_id, last)
             logits, caches = model.apply(
                 params, tok[:, None], xa, p + i, caches,
                 method=WhisperModel.decode_step,
             )
             lg = logits[:, -1] + sup
+            if timestamps:
+                lg = apply_ts_rules(lg, last, prev_ts, max_ts)
             nxt = pick(lg, key)
             lp = jax.nn.log_softmax(lg, axis=-1)
             tok_lp = jnp.take_along_axis(lp, nxt[:, None], 1)[:, 0]
-            done = done | (tok == eot_id)
-            sum_lp = sum_lp + jnp.where(done, 0.0, tok_lp)
-            count = count + jnp.where(done, 0.0, 1.0)
-            return (nxt, caches, done, sum_lp, count), tok
+            done_now = done | (tok == eot_id)
+            sum_lp = sum_lp + jnp.where(done_now, 0.0, tok_lp)
+            count = count + jnp.where(done_now, 0.0, 1.0)
+            if timestamps:
+                prev_ts = last >= ts_begin
+                max_ts = jnp.where((nxt >= ts_begin) & ~done_now,
+                                   jnp.maximum(max_ts, nxt), max_ts)
+            return (nxt, caches, done_now, sum_lp, count, prev_ts, max_ts), tok
 
-        (_, _, _, sum_lp, count), toks = jax.lax.scan(
+        # first sampled token: whisper treats the (empty) penultimate slot
+        # as a timestamp, so text is forced right after the opening tick
+        init_prev = jnp.ones((b,), bool)
+        init_max = jnp.where(last >= ts_begin, last,
+                             jnp.full((b,), ts_begin or 0, last.dtype)) \
+            if timestamps else jnp.zeros((b,), last.dtype)
+        (_, _, _, sum_lp, count, _, _), toks = jax.lax.scan(
             step,
-            (last, caches, jnp.zeros((b,), bool), sum_lp, count),
+            (last, caches, jnp.zeros((b,), bool), sum_lp, count,
+             init_prev, init_max),
             (jnp.arange(max_tokens), jax.random.split(k_rest, max_tokens)),
         )
         return (jnp.concatenate([prompt, toks.T], axis=1),
-                sum_lp / count, ns_prob)
+                sum_lp / count, ns_prob, lang_probs)
 
     return run

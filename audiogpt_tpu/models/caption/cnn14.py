@@ -54,6 +54,15 @@ class Cnn14Encoder(nn.Module):
     @nn.compact
     def __call__(self, wav, wav_len=None, train: bool = False):
         cfg = self.cfg
+        # channels is a user-facing width knob (tools/train_tiny_clap.py
+        # --channels); the pool schedule below (2 for i<5, 1 for the last)
+        # is what downsample_ratio=32 encodes — a different stage count
+        # would silently desync the feat_len masking
+        if len(cfg.channels) != 6:
+            raise ValueError(
+                f"Cnn14Config.channels must have 6 stages (pool schedule "
+                f"fixes downsample_ratio={cfg.downsample_ratio}); got "
+                f"{len(cfg.channels)}")
         mel = log_mel(wav, PANNS_MEL_32K)          # [B, T', 64]
         x = mel[..., None]                          # NHWC: [B, T', 64, 1]
         # bn0 normalizes per-mel-bin (reference transposes to put mel on the

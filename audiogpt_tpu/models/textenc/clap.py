@@ -210,6 +210,11 @@ class CLAPAudioEncoder(nn.Module):
     def __call__(self, wav, wav_len=None):
         from audiogpt_tpu.models.caption.cnn14 import Cnn14Config, Cnn14Encoder
 
+        if self.cnn14 is not None and not isinstance(self.cnn14, Cnn14Config):
+            raise TypeError(
+                f"CLAPAudioEncoder.cnn14 must be a Cnn14Config (got "
+                f"{type(self.cnn14).__name__}) — an HTSATConfig goes with "
+                f"audio_tower='htsat'")
         cfg = self.cnn14 if self.cnn14 is not None else Cnn14Config()
         enc = Cnn14Encoder(cfg, name="backbone")(wav, wav_len)
         return Projection(self.d_proj, name="projection")(enc["fc_emb"])
@@ -242,10 +247,22 @@ class CLAPScorer:
 
             if audio_cfg is None:
                 audio_cfg = HTSATConfig(d_proj=self.cfg.d_proj)
+            elif not isinstance(audio_cfg, HTSATConfig):
+                raise TypeError(
+                    f"audio_tower='htsat' takes an HTSATConfig audio_cfg "
+                    f"(got {type(audio_cfg).__name__})")
             elif audio_cfg.d_proj != self.cfg.d_proj:
                 audio_cfg = _dc.replace(audio_cfg, d_proj=self.cfg.d_proj)
             self.audio = HTSATAudioEncoder(audio_cfg)
         else:
+            from audiogpt_tpu.models.caption.cnn14 import Cnn14Config
+
+            if audio_cfg is not None and not isinstance(audio_cfg,
+                                                        Cnn14Config):
+                raise TypeError(
+                    f"audio_tower='pann' takes a Cnn14Config audio_cfg "
+                    f"(got {type(audio_cfg).__name__}) — pass "
+                    f"audio_tower='htsat' for an HTSATConfig")
             self.audio = CLAPAudioEncoder(self.cfg.d_proj, cnn14=audio_cfg)
         self.tokenizer = tokenizer or WordPieceTokenizer(
             vocab_size=self.cfg.bert.vocab_size)

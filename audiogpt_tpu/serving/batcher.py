@@ -42,10 +42,15 @@ class MicroBatcher:
         self.name = name
         self._lock = threading.Lock()
         self._cond = threading.Condition(self._lock)
-        self._queue: list[tuple[Any, Future]] = []
+        self._queue: list[tuple[Any, Future, float]] = []
         self._closed = False
         self.batches = 0          # stats: device calls made
         self.items = 0            # stats: requests served
+        # per-batch phase breakdown (bounded ring): queue wait of the
+        # oldest item, linger actually paid, batch_fn wall, batch size —
+        # the instrumentation behind the serving p50/p95 diagnosis
+        self.batch_log: list[dict] = []
+        self._log_cap = 512
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name=f"microbatch-{name}")
         self._worker.start()
@@ -55,7 +60,7 @@ class MicroBatcher:
         with self._cond:
             if self._closed:
                 raise RuntimeError(f"MicroBatcher {self.name!r} is closed")
-            self._queue.append((item, fut))
+            self._queue.append((item, fut, time.monotonic()))
             self._cond.notify()
         return fut
 
@@ -77,7 +82,8 @@ class MicroBatcher:
                 if self._closed and not self._queue:
                     return
                 # first item arrived — linger briefly for stragglers
-                deadline = time.monotonic() + self.window_s
+                t_linger = time.monotonic()
+                deadline = t_linger + self.window_s
                 while (len(self._queue) < self.max_batch
                        and not self._closed):
                     remaining = deadline - time.monotonic()
@@ -88,6 +94,7 @@ class MicroBatcher:
                 del self._queue[: self.max_batch]
             items = [b[0] for b in batch]
             futs = [b[1] for b in batch]
+            t_exec = time.monotonic()
             self.batches += 1
             self.items += len(items)
             try:
@@ -99,6 +106,14 @@ class MicroBatcher:
             except BaseException as e:  # propagate to every waiter
                 results = None
                 err = e
+            t_done = time.monotonic()
+            if len(self.batch_log) < self._log_cap:
+                self.batch_log.append({
+                    "size": len(items),
+                    "queue_wait_s": t_exec - min(b[2] for b in batch),
+                    "linger_s": t_exec - t_linger,
+                    "exec_s": t_done - t_exec,
+                })
             # set each future independently — a caller-cancelled future must
             # not poison its batchmates or kill the worker thread
             for idx, f in enumerate(futs):
@@ -183,9 +198,12 @@ class BatchedASR:
             nb *= 2
         self.engine.warmup(batch_sizes=tuple(sizes))
 
-    def transcribe(self, wav, task: str = "translate", language: int = 0):
-        if task != "translate" or language != 0:
-            return self.engine.transcribe(wav, task, language)
+    def transcribe(self, wav, task: str = "translate",
+                   language: int | None = None,
+                   return_segments: bool = False):
+        if task != "translate" or language is not None or return_segments:
+            return self.engine.transcribe(wav, task, language,
+                                          return_segments=return_segments)
         return self.batcher(wav)
 
     def __getattr__(self, name):

@@ -277,7 +277,15 @@ class _Handler(BaseHTTPRequestHandler):
 
         import numpy as np
 
-        text = (parse_qs(urlparse(self.path).query).get("text") or [""])[0]
+        q = parse_qs(urlparse(self.path).query)
+        text = (q.get("text") or [""])[0]
+        # per-chunk phone cap: streaming defaults to ~one clause (64) so
+        # TTFA is the first clause's latency, not the packed utterance's;
+        # chunk_phones=0 restores greedy max-bucket packing
+        try:
+            chunk_phones = int((q.get("chunk_phones") or ["64"])[0]) or None
+        except ValueError:
+            chunk_phones = 64
         eng = self.app.engines.get("tts")
         if eng is None:
             self._json({"error": "tts engine not enabled"}, 404)
@@ -292,7 +300,7 @@ class _Handler(BaseHTTPRequestHandler):
         # lazy, so frontend/bucket errors (e.g. an unsplittable token) would
         # otherwise surface after the header — a truncated HTTP-200 WAV the
         # client can't tell from success (ADVICE r3).
-        gen = synthesize_stream(eng, text)
+        gen = synthesize_stream(eng, text, max_phones=chunk_phones)
         try:
             first = next(gen)
         except StopIteration:

@@ -494,7 +494,10 @@ def bench_speech_loop(iters: int = 5):
 
     def asr(path):
         wav, _ = load_wav(path, sr=16000)
-        return asr_eng.transcribe(wav)
+        # language=0 pins the en path a trained model takes on English
+        # audio (language=None auto-detect re-dispatches once when the
+        # detected language differs — with random weights, always)
+        return asr_eng.transcribe(wav, language=0)
 
     def tts(text):
         out = os.path.join(root, "resp.wav")
@@ -593,8 +596,12 @@ def bench_tts_stream_ttfa(iters: int = 5):
     text = ("the quick brown fox jumps over the lazy dog. "
             "a gentle breeze carries the sound across the meadow. "
             "everyone stops to listen for a moment before moving on.")
-    chunks = list(synthesize_stream(eng, text))  # warm every chunk bucket
-    n_chunks = len(chunks)
+    # warm every chunk bucket at the server's streaming cap (chunk_phones
+    # defaults to 64 — one clause per chunk, so the claim under test is
+    # TTFA ≈ full_wall / n_chunks, not TTFA == full_wall); the stream
+    # interleaves inter-clause gap fillers, so clauses = (yields + 1) / 2
+    pieces = list(synthesize_stream(eng, text, max_phones=64))
+    n_chunks = (len(pieces) + 1) // 2
 
     app = AppServer(ScriptedLLM([]), {"tts": eng}, media_root="/tmp")
     httpd = make_server(app, port=0)
@@ -639,7 +646,12 @@ def bench_serving_coalesced_latency(n_sessions: int = 4, rounds: int = 8):
     lats: list[float] = []
     lock = threading.Lock()
 
-    def one():
+    def one(barrier):
+        # barrier: all clients of a round submit together — the property
+        # under test is coalescing of CONCURRENT arrivals; without it,
+        # thread-start skew on a 1-core bench host (~tens of ms) outruns
+        # the linger window and measures the harness, not the batcher
+        barrier.wait()
         t0 = time.perf_counter()
         proxy(text)
         with lock:
@@ -647,7 +659,8 @@ def bench_serving_coalesced_latency(n_sessions: int = 4, rounds: int = 8):
 
     try:
         for _ in range(rounds):
-            threads = [threading.Thread(target=one)
+            barrier = threading.Barrier(n_sessions)
+            threads = [threading.Thread(target=one, args=(barrier,))
                        for _ in range(n_sessions)]
             for t in threads:
                 t.start()
@@ -656,7 +669,18 @@ def bench_serving_coalesced_latency(n_sessions: int = 4, rounds: int = 8):
         lats.sort()
         p50 = lats[len(lats) // 2]
         p95 = lats[min(len(lats) - 1, int(len(lats) * 0.95))]
-        return p50, p95, proxy.batcher.batches, proxy.batcher.items
+        log = proxy.batcher.batch_log
+        execs = sorted(b["exec_s"] for b in log)
+        phases = {
+            "batch_sizes": [b["size"] for b in log],
+            "exec_p50_s": round(execs[len(execs) // 2], 4) if execs else None,
+            "exec_max_s": round(execs[-1], 4) if execs else None,
+            "linger_max_s": round(max(b["linger_s"] for b in log), 4)
+            if log else None,
+            "queue_wait_max_s": round(max(b["queue_wait_s"] for b in log), 4)
+            if log else None,
+        }
+        return p50, p95, proxy.batcher.batches, proxy.batcher.items, phases
     finally:
         proxy.batcher.close()
 
@@ -797,11 +821,13 @@ def main():
                       "vs_baseline": round(full / max(ttfa, 1e-9), 2),
                       "full_utterance_s": round(full, 4),
                       "chunks": n_chunks})
-        p50, p95, n_batches, n_items = bench_serving_coalesced_latency()
+        p50, p95, n_batches, n_items, phases = \
+            bench_serving_coalesced_latency()
         extra.append({"metric": "tts_serving_coalesced_latency_p50_s",
                       "value": round(p50, 4), "unit": "s", "vs_baseline": 1.0,
                       "p95_s": round(p95, 4),
-                      "coalescing": round(n_items / max(n_batches, 1), 2)})
+                      "coalescing": round(n_items / max(n_batches, 1), 2),
+                      **phases})
     if args.suite in ("all", "chain"):
         dt, audio = bench_agent_chain()
         # random-weight duration predictors emit near-zero-length audio, so

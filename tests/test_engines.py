@@ -1,6 +1,7 @@
 """Engine substrate tests."""
 
 import numpy as np
+import pytest
 
 from audiogpt_tpu.engines.base import Bucketer
 from audiogpt_tpu.engines.vocoder import VocoderEngine
@@ -160,7 +161,7 @@ class TestASREngine:
         )
         eng = ASREngine(cfg, max_tokens=2, temperatures=(0.0,))
         assert eng._filters[3] == NO_SPEECH
-        _, avg_lp, ns = eng._decode_stats(np.zeros((1, 16000), np.float32))
+        _, avg_lp, ns, _ = eng._decode_stats(np.zeros((1, 16000), np.float32))
         assert 0.0 < float(ns[0]) < 1.0
 
     def test_seam_word_recovered_by_halo_join(self):
@@ -171,7 +172,9 @@ class TestASREngine:
         eng = self._tiny_engine(temperatures=(0.0,))
         win_texts = ["the quick brown fox",        # window 1 ends mid-"fox"
                      "fox jumps over the dog"]     # halo re-covers "fox"
-        eng._robust_decode = lambda stack, task, lang: win_texts[: len(stack)]
+        eng._robust_decode = lambda stack, task, lang, timestamps=False: (
+            win_texts[: len(stack)], [None] * len(stack),
+            [False] * len(stack))
         out = eng.transcribe(np.zeros(int(1.5 * 16000), np.float32))
         assert out == "the quick brown fox jumps over the dog"
 
@@ -185,6 +188,130 @@ class TestASREngine:
         assert dedup_join(["The Fox", "fox runs"]) == "The Fox runs"
         # no false dedup when seams genuinely repeat once
         assert dedup_join(["said yes", "yes again"]) == "said yes again"
+
+    def _full_vocab_engine(self, **kw):
+        """Tiny dims, FULL multilingual vocab — the language-token block and
+        timestamp region exist (language detection + timestamp decode)."""
+        from audiogpt_tpu.engines.asr import ASREngine
+        from audiogpt_tpu.models.asr import WhisperConfig
+
+        cfg = WhisperConfig(
+            n_audio_ctx=50, n_audio_state=32, n_audio_head=2, n_audio_layer=1,
+            n_vocab=51865, n_text_ctx=24, n_text_state=32, n_text_head=2,
+            n_text_layer=1, chunk_length=1,
+        )
+        kw.setdefault("max_tokens", 6)
+        kw.setdefault("temperatures", (0.0,))
+        return ASREngine(cfg, **kw)
+
+    def test_language_autodetect_wires_detected_token(self):
+        """language=None (whisper's DecodingOptions default, the reference
+        path at audio-chatgpt.py:570-572): the detected language token must
+        land in the SOT prompt of the decode that produces the text — i.e.
+        auto output == explicitly pinning the detected language."""
+        eng = self._full_vocab_engine()
+        wav = (np.random.RandomState(0).randn(16000) * 0.1).astype(np.float32)
+        det, probs = eng.detect_language(wav)
+        assert probs.shape == (1, 99)
+        np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-5)
+
+        langs_seen = []
+        orig = eng._decode_stats
+
+        def spy(w, task="translate", language=0, **k):
+            langs_seen.append(np.broadcast_to(
+                np.asarray(language), (w.shape[0],)).copy())
+            return orig(w, task, language, **k)
+
+        eng._decode_stats = spy
+        auto = eng.transcribe(wav, language=None)
+        pinned = eng.transcribe(wav, language=int(det[0]))
+        assert auto == pinned
+        # first dispatch assumed en; the corrective dispatch (if the
+        # detected language differs) carries the detected token
+        assert langs_seen[0][0] == 0
+        if int(det[0]) != 0:
+            assert len(langs_seen) >= 2 and langs_seen[1][0] == int(det[0])
+        else:
+            assert len(langs_seen[:2]) >= 1  # no corrective dispatch needed
+
+    def test_language_autodetect_skipped_on_tiny_vocab(self):
+        """Vocabs without the language block degrade to the fixed default
+        (still one dispatch, no crash)."""
+        import pytest
+
+        eng = self._tiny_engine(temperatures=(0.0,))
+        assert not eng.supports_lang_detect
+        calls = []
+        orig = eng._decode_stats
+        eng._decode_stats = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+        out = eng.transcribe(np.zeros(16000, np.float32), language=None)
+        assert isinstance(out, str) and len(calls) == 1
+        with pytest.raises(ValueError):
+            eng.detect_language(np.zeros(16000, np.float32))
+
+    def test_segments_structure(self):
+        """return_segments=True (whisper transcribe() timestamp mode):
+        (start, end, text) tuples, times valid and monotonic."""
+        eng = self._full_vocab_engine()
+        wav = (np.random.RandomState(1).randn(16000) * 0.1).astype(np.float32)
+        segs = eng.transcribe(wav, language=0, return_segments=True)
+        assert isinstance(segs, list)
+        for s, e, txt in segs:
+            assert 0.0 <= s <= e
+            assert isinstance(txt, str) and txt.strip()
+        starts = [s for s, _, _ in segs]
+        assert starts == sorted(starts)
+
+    def test_segments_tiny_vocab_raises(self):
+        import pytest
+
+        eng = self._tiny_engine(temperatures=(0.0,))
+        with pytest.raises(ValueError):
+            eng.transcribe(np.zeros(16000, np.float32),
+                           return_segments=True)
+
+    def test_parse_segments_pinned(self):
+        """Token→segment parsing on a hand-built trajectory:
+        <|0.40|> A <|1.00|><|1.00|> B <|2.00|> EOT plus a lone trailing
+        open (<|2.20|> C EOT) → open end (None)."""
+        from audiogpt_tpu.engines.asr import TIMESTAMP_BEGIN as TB
+
+        eng = self._full_vocab_engine()
+        eng.text_decoder = lambda ids: " ".join(str(i) for i in ids)
+        prompt = eng.sot_sequence("translate", 0, timestamps=True)
+        row = prompt + [TB + 20, 7, TB + 50, TB + 50, 8, TB + 100,
+                        TB + 110, 9, eng.eot, 0, 0]
+        segs = eng._parse_segments(np.asarray(row), "translate")
+        assert segs[0] == (0.4, 1.0, "7")
+        assert segs[1] == (1.0, 2.0, "8")
+        assert segs[2][0] == pytest.approx(2.2)
+        assert segs[2][1] is None and segs[2][2] == "9"
+
+    def test_segment_seam_ownership(self):
+        """>30 s audio in segment mode: window k owns segment midpoints in
+        [off_k + halo, off_{k+1} + halo) — every instant has exactly ONE
+        owner, so the merged stream is duplicate-free and monotonic (the
+        segment-time replacement for word-level dedup_join)."""
+        eng = self._tiny_engine(temperatures=(0.0,))
+        # 2.5 s at chunk 1 s, halo 0.25 s → windows at 0.00/0.75/1.50 s;
+        # window k owns absolute midpoints in [off_k+0.25, off_{k+1}+0.25)
+        per_window = {
+            0: [(0.0, 0.5, "w0a"), (0.5, 1.0, "w0b")],  # owns mids [0, 1.0)
+            1: [(0.0, 0.3, "w1a"),                      # abs mid 0.90 → w0's
+                (0.3, 0.9, "w1b")],                     # abs mid 1.35 ✓
+            2: [(0.1, 0.3, "w2a"),                      # abs mid 1.70 → w1's
+                (0.4, 0.9, "w2b")],                     # abs mid 2.15 ✓
+        }
+        eng._robust_decode = lambda stack, task, lang, timestamps=False: (
+            ["x"] * len(stack), list(range(len(stack))), [False] * len(stack))
+        eng._parse_segments = lambda row, task: per_window[int(row)]
+        segs = eng.transcribe(np.zeros(int(2.5 * 16000), np.float32),
+                              return_segments=True)
+        texts = [t for _, _, t in segs]
+        assert texts == ["w0a", "w0b", "w1b", "w2b"]
+        starts = [s for s, _, _ in segs]
+        assert starts == sorted(starts)
 
 
 class TestTTSEngine:

@@ -134,7 +134,7 @@ class TestWhisperParity:
         allowed = {5, 6, 7, 3}  # 3 = EOT
         suppress = tuple(i for i in range(TINY.n_vocab)
                          if i not in allowed and i < 40000)
-        toks, avg_lp, ns = decode(
+        toks, avg_lp, ns, _ = decode(
             model, params, mel, prompt, max_tokens=8, eot_id=3,
             suppress=suppress, suppress_gte=40000)
         body = np.asarray(toks)[:, 2:]
@@ -153,7 +153,7 @@ class TestWhisperParity:
         mel = jnp.zeros((1, 2 * TINY.n_audio_ctx, TINY.n_mels))
         prompt = jnp.array([[1, 2]], jnp.int32)
         suppress = tuple(i for i in range(40000) if i not in (8, 3))
-        toks, _, _ = decode(
+        toks, _, _, _ = decode(
             model, params, mel, prompt, max_tokens=6, eot_id=3,
             suppress=suppress, suppress_gte=40000, blank_ids=(3,))
         body = np.asarray(toks)[0, 2:]
@@ -176,6 +176,114 @@ class TestWhisperParity:
                    temperature=0.8, rng=jax.random.PRNGKey(7))
         assert _decode_fn.cache_info().currsize == before + 1
         assert a[0].shape == b[0].shape
+
+
+class TestTimestampDecode:
+    """whisper ApplyTimestampRules semantics, expressed as carried scan
+    state + masks inside the one-program decode (reference behavior:
+    ``DecodingOptions()`` defaults ``without_timestamps=False`` and
+    ``transcribe()`` — used at ``audio-chatgpt.py:573-575`` — relies on the
+    emitted segment timestamps)."""
+
+    TS_BEGIN = 50950  # 50 timestamp tokens in the TINY 51000 vocab
+
+    def _trajectory(self, pair, temperature=0.0, max_tokens=14, seed=0):
+        from audiogpt_tpu.models.asr import decode
+
+        _, model, params = pair
+        rng = np.random.RandomState(3)
+        mel = jnp.asarray(
+            rng.randn(2, 2 * TINY.n_audio_ctx, TINY.n_mels).astype(np.float32))
+        prompt = jnp.array([[1, 2], [1, 2]], jnp.int32)
+        toks, _, _, _ = decode(
+            model, params, mel, prompt, max_tokens=max_tokens, eot_id=3,
+            suppress_gte=50000, temperature=temperature,
+            rng=jax.random.PRNGKey(seed),
+            timestamps=True, timestamp_begin=self.TS_BEGIN,
+            max_initial_timestamp=10)
+        return np.asarray(toks)[:, 2:]
+
+    def _check_rules(self, seq):
+        ts = self.TS_BEGIN
+        eot = 3
+        # cut at EOT
+        body = []
+        for t in seq:
+            if t == eot:
+                break
+            body.append(int(t))
+        assert body, "decode emitted nothing before EOT"
+        # first sampled token is a timestamp within the initial cap
+        assert body[0] >= ts and body[0] <= ts + 10
+        last_ts_val = None
+        for j in range(1, len(body)):
+            last_was = body[j - 1] >= ts
+            penult_was = j < 2 or body[j - 2] >= ts
+            cur_is = body[j] >= ts
+            if last_was and penult_was:
+                assert not cur_is, f"pos {j}: ts after opening pair in {body}"
+            if last_was and not penult_was:
+                assert cur_is, f"pos {j}: text after lone close in {body}"
+        # timestamps never decrease
+        stamps = [t for t in body if t >= ts]
+        assert stamps == sorted(stamps), f"non-monotonic stamps in {body}"
+
+    def test_greedy_trajectory_obeys_rules(self, pair):
+        for row in self._trajectory(pair, temperature=0.0):
+            self._check_rules(row)
+
+    def test_sampled_trajectories_obey_rules(self, pair):
+        for seed in range(3):
+            for row in self._trajectory(pair, temperature=1.0, seed=seed):
+                self._check_rules(row)
+
+    def test_timestamp_region_reachable_despite_suppress_gte(self, pair):
+        """suppress_gte closes the special region ABOVE eot but the
+        timestamp block must stay open in timestamp mode."""
+        rows = self._trajectory(pair)
+        assert (rows >= self.TS_BEGIN).any()
+
+    def test_bad_timestamp_begin_raises(self, pair):
+        from audiogpt_tpu.models.asr import decode
+
+        _, model, params = pair
+        mel = jnp.zeros((1, 2 * TINY.n_audio_ctx, TINY.n_mels))
+        prompt = jnp.array([[1, 2]], jnp.int32)
+        with pytest.raises(ValueError):
+            decode(model, params, mel, prompt, max_tokens=4, eot_id=3,
+                   timestamps=True, timestamp_begin=TINY.n_vocab + 5)
+
+
+class TestLanguageProbs:
+    def test_lang_probs_shape_and_normalized(self, pair):
+        from audiogpt_tpu.models.asr import decode
+
+        _, model, params = pair
+        mel = jnp.zeros((2, 2 * TINY.n_audio_ctx, TINY.n_mels))
+        prompt = jnp.array([[1, 7], [1, 9]], jnp.int32)
+        _, _, _, lp = decode(model, params, mel, prompt, max_tokens=2,
+                             eot_id=3, lang_range=(100, 20))
+        lp = np.asarray(lp)
+        assert lp.shape == (2, 20)
+        np.testing.assert_allclose(lp.sum(-1), 1.0, atol=1e-5)
+
+    def test_position0_probs_ignore_later_prompt_tokens(self, pair):
+        """Detection reads the logits AFTER consuming only SOT (causal), so
+        the language token we assumed at position 1 cannot leak into the
+        detection used to correct it — the one-dispatch-when-right design
+        (engines/asr.py language=None) is sound."""
+        from audiogpt_tpu.models.asr import decode
+
+        _, model, params = pair
+        rng = np.random.RandomState(5)
+        mel = jnp.asarray(
+            rng.randn(1, 2 * TINY.n_audio_ctx, TINY.n_mels).astype(np.float32))
+        lp_a = decode(model, params, mel, jnp.array([[1, 7]], jnp.int32),
+                      max_tokens=2, eot_id=3, lang_range=(100, 20))[3]
+        lp_b = decode(model, params, mel, jnp.array([[1, 15]], jnp.int32),
+                      max_tokens=2, eot_id=3, lang_range=(100, 20))[3]
+        np.testing.assert_allclose(np.asarray(lp_a), np.asarray(lp_b),
+                                   atol=1e-6)
 
 
 class TestWhisperFrontend:

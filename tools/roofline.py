@@ -131,8 +131,10 @@ def asr_decode(max_tokens: int = 32, batch: int = 1):
     prompt = jnp.tile(jnp.asarray(eng.sot_sequence(), jnp.int32)[None],
                       (batch, 1))
     sup, gte, blanks, nsid = eng._filters
+    from audiogpt_tpu.engines.asr import LANG_BASE, N_LANGS
+
     fn = _decode_fn(eng.model, max_tokens, eng.eot, tuple(sup), gte,
-                    tuple(blanks), nsid)
+                    tuple(blanks), nsid, lang_range=(LANG_BASE, N_LANGS))
     compiled = fn.lower(eng.params, mel, prompt, jnp.float32(0.0),
                         jax.random.PRNGKey(0)).compile()
     r = analyze(compiled)

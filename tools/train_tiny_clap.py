@@ -120,6 +120,11 @@ def main():
     text_cfg = CLAPTextConfig(bert=BertConfig(**bert), d_proj=64,
                               max_length=24)
     channels = tuple(int(c) for c in args.channels.split(","))
+    if len(channels) != 6:
+        raise SystemExit(
+            f"--channels needs exactly 6 stages (Cnn14's pool schedule "
+            f"fixes the 32× downsample used for length masking); got "
+            f"{len(channels)}")
     audio_cfg = Cnn14Config(channels=channels)
     tok = WordPieceTokenizer()           # bundled derived vocab
     assert tok.derived, "bundled wordpiece vocab missing"
