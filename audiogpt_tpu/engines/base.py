@@ -65,6 +65,47 @@ class Engine:
     def warmup(self) -> None:
         """AOT-compile all buckets (override). Default: no-op."""
 
+    @staticmethod
+    def host_sync(out) -> None:
+        """Block until ``out`` has genuinely finished on device by pulling
+        one scalar per leaf to the host. ``jax.block_until_ready`` returns
+        BEFORE execution (and compilation) finishes on the axon TPU tunnel —
+        a warmup that only block_until_ready's leaves its compiles in
+        flight, and the first real request stalls behind them (measured:
+        188 s first-coalesced-batch exec with cold compiles, 1.6 s with
+        persistent-cache hits; 0.5 s once warmup host-syncs)."""
+        for leaf in jax.tree_util.tree_leaves(out):
+            if hasattr(leaf, "ndim"):
+                float(leaf[(0,) * leaf.ndim])  # float() forces the transfer
+
+    # number of sub-canvas slice widths in the download ladder (S/2, S/4, S/8)
+    DOWNLOAD_LEVELS = 3
+
+    @classmethod
+    def download_rows(cls, arr, ends: Sequence[int]) -> np.ndarray:
+        """Device→host download of ``arr[:, :max(ends)]`` through a BOUNDED
+        ladder of slice widths (canvas S, S/2, S/4, S/8).
+
+        A per-request ``np.asarray(arr[r, :end])`` compiles a NEW
+        shape-specialized slice program for every distinct ``(row, end)``
+        pair — unbounded program churn at serve time, and on a degraded
+        compile service each first-use costs minutes (measured 593 s for
+        one such slice on the axon tunnel). Rounding the slice width up to
+        a dyadic ladder keeps the download-bytes win (≤2× the valid bytes
+        above S/8 granularity) while the program set stays small enough to
+        AOT-warm at startup; callers trim rows host-side."""
+        S = arr.shape[-1]
+        end_max = max(1, min(S, max(ends)))
+        width = S
+        for k in range(cls.DOWNLOAD_LEVELS, 0, -1):
+            w = S >> k
+            if w >= end_max:
+                width = w
+                break
+        if width >= S:
+            return np.asarray(arr)            # pure transfer, no program
+        return np.asarray(arr[:, :width])     # one of ≤3 slices per canvas
+
     def _timed(self, key: str, fn: Callable[[], Any]) -> Any:
         t0 = time.perf_counter()
         out = fn()

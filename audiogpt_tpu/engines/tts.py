@@ -170,9 +170,19 @@ class TTSEngine(Engine):
                 if self._fused_ok:
                     out = self._fused_fn(self.params, self.vocoder.params,
                                          toks)
+                    # warm the bounded download-slice ladder for this canvas
+                    # (download_rows): ≤DOWNLOAD_LEVELS tiny slice programs
+                    wav16 = out[0]
+                    for k in range(1, self.DOWNLOAD_LEVELS + 1):
+                        w = wav16.shape[-1] >> k
+                        if w > 0:
+                            self.host_sync(wav16[:, :w])
                 else:
                     out = self._fn(self.params, toks)
-                jax.block_until_ready(out)
+                # host-sync, NOT block_until_ready: on the axon tunnel the
+                # latter returns with the compile still in flight, so the
+                # first real request would stall behind it (Engine.host_sync)
+                self.host_sync(out)
 
     def text_to_mel(self, text: str) -> np.ndarray:
         ids = np.asarray(self.frontend.encode(text), np.int32)
@@ -220,7 +230,10 @@ class TTSEngine(Engine):
         padded, _ = self.bucketer.pad_to_bucket(ids[None], axis=1)
         wav16, n = self._fused_fn(self.params, self.vocoder.params, padded)
         end = int(n[0]) * self.vocoder.hop_size
-        return np.asarray(wav16[0, :end]).astype(np.float32) / 32767.0
+        # bounded-ladder download (base.Engine.download_rows): a per-`end`
+        # device slice would compile a fresh program per distinct length
+        block = self.download_rows(wav16, [end])
+        return block[0, :end].astype(np.float32) / 32767.0
 
     def __call__(self, text: str) -> np.ndarray:
         """text → waveform (vocoder sample rate); long inputs are chunked
@@ -257,10 +270,10 @@ class TTSEngine(Engine):
                 wav16, nfr = self._fused_fn(self.params,
                                             self.vocoder.params, toks)
                 nfr = np.asarray(nfr)
+                ends = [int(nfr[r]) * hop for r in range(n)]
+                block = self.download_rows(wav16, ends)
                 for r, i in enumerate(idx):
-                    end = int(nfr[r]) * hop
-                    out[i] = (np.asarray(wav16[r, :end])
-                              .astype(np.float32) / 32767.0)
+                    out[i] = block[r, :ends[r]].astype(np.float32) / 32767.0
             else:
                 mels = np.asarray(self._fn(self.params, toks))[:n]
                 lens = []

@@ -51,3 +51,25 @@ def test_caption_decode_fns_cached():
     assert _greedy_fn(m) is _greedy_fn(m)
     assert _beam_fn(m, 3, 1.0) is _beam_fn(m, 3, 1.0)
     assert _beam_fn(m, 3, 1.0) is not _beam_fn(m, 2, 1.0)
+
+
+def test_download_rows_bounded_ladder():
+    """Valid-sample downloads must ride a BOUNDED set of slice widths
+    (canvas S and S>>1..S>>3), never a shape-specialized slice per distinct
+    valid length — per-`end` slices compile a fresh program each (measured
+    minutes apiece on a degraded compile service)."""
+    from audiogpt_tpu.engines.base import Engine
+
+    S = 1024
+    arr = jnp.arange(4 * S, dtype=jnp.int16).reshape(4, S)
+    ref = np.asarray(arr)
+    allowed = {S >> k for k in range(Engine.DOWNLOAD_LEVELS + 1)}
+    widths = set()
+    for ends in ([5], [1], [S], [200, 90], [S // 8, S // 8 + 1], [777, 3]):
+        block = Engine.download_rows(arr, ends)
+        widths.add(block.shape[-1])
+        assert block.shape[-1] >= max(ends)
+        assert block.shape[-1] in allowed
+        for r, e in enumerate(ends):
+            np.testing.assert_array_equal(block[r, :e], ref[r, :e])
+    assert widths <= allowed
