@@ -59,17 +59,19 @@ def analyze(compiled) -> dict:
     return out
 
 
-def vocoder(batch: int = 8, frames: int = 1024):
-    import jax
+def vocoder(batch: int = 8, frames: int = 1024, bf16: bool = False):
     import jax.numpy as jnp
 
     from audiogpt_tpu.engines.vocoder import VocoderEngine
 
-    eng = VocoderEngine("hifigan")
+    eng = VocoderEngine("hifigan", bf16=bf16)
     mel = jnp.zeros((batch, frames, 80))
-    fn = jax.jit(lambda p, m: eng.model.apply(p, m))
-    r = analyze(fn.lower(eng.params, mel).compile())
-    r["metric"] = f"hifigan_vocoder_b{batch}_roofline"
+    # the EXACT dispatch program the bench times (incl. the f32 I/O casts
+    # of the bf16 mode); bf16 AI doubles because parameter + activation
+    # byte streams halve while flops stay put
+    r = analyze(eng._fn.lower(eng._run_params, mel).compile())
+    r["metric"] = (f"hifigan_vocoder_b{batch}"
+                   + ("_bf16" if bf16 else "") + "_roofline")
     print(json.dumps(r))
 
 
@@ -170,6 +172,7 @@ if __name__ == "__main__":
     a = p.parse_args()
     if a.suite in ("all", "vocoder"):
         vocoder(batch=8)
+        vocoder(batch=8, bf16=True)
         vocoder(batch=1)
     if a.suite in ("all", "ldm"):
         ldm_train()
