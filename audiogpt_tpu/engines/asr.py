@@ -93,7 +93,7 @@ class ASREngine(Engine):
                  compression_ratio_threshold: float | None = 2.4,
                  logprob_threshold: float | None = -1.0,
                  no_speech_threshold: float | None = 0.6,
-                 halo_sec: float = 1.0):
+                 halo_sec: float = 1.0, bf16: bool = False):
         """``temperatures``/thresholds are the reference's ``transcribe()``
         defaults (openai-whisper): the t=0 decode is retried at rising
         temperatures while its compression ratio exceeds 2.4 (degenerate
@@ -103,7 +103,15 @@ class ASREngine(Engine):
         logprob bar by construction (~−log V) — pass ``temperatures=(0.0,)``
         for deterministic single-pass decoding in benches/smoke tests.
         ``halo_sec``: overlap between the >30 s batched windows (seam words
-        are recovered by :func:`dedup_join`)."""
+        are recovered by :func:`dedup_join`).
+
+        ``bf16``: opt-in throughput mode — the param tree is cast to
+        bfloat16 ONCE at construction (``params`` stays f32 for parity /
+        checkpointing, the setter keeps the dispatch copy in sync, same
+        contract as ``VocoderEngine(bf16=True)``). The roofline says the
+        decode scan is weight-streaming-bound (47 % of program bytes at
+        10 % of flops, AI 8.7, BASELINE.md): bf16 halves exactly those
+        per-token weight bytes. I/O and logits stay f32 via promotion."""
         super().__init__()
         self.cfg = cfg or WhisperConfig()
         self.model = WhisperModel(self.cfg)
@@ -113,6 +121,7 @@ class ASREngine(Engine):
         self.logprob_threshold = logprob_threshold
         self.no_speech_threshold = no_speech_threshold
         self.halo_sec = halo_sec
+        self.bf16 = bf16
         self._warned_no_vocab = False
         self._filters_cache = None
         self._base_rng = jax.random.PRNGKey(rng_seed + 1)
@@ -140,6 +149,23 @@ class ASREngine(Engine):
                 self.text_decoder.derived = True
             except FileNotFoundError:
                 pass  # no bundled data: raw token-id strings + warning
+
+    @property
+    def params(self):
+        return self._params
+
+    @params.setter
+    def params(self, p):
+        # masters stay f32; the bf16 dispatch copy is cast ONCE here (an
+        # in-program cast would re-read the f32 tree every dispatch and
+        # halve nothing — see VocoderEngine)
+        self._params = p
+        if self.bf16:
+            self._run_params = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if a.dtype == jnp.float32 else a, p)
+        else:
+            self._run_params = p
 
     def set_vocab(self, vocab) -> None:
         """Wire a whisper BPE vocab so ``transcribe`` returns TEXT. ``vocab``
@@ -243,7 +269,7 @@ class ASREngine(Engine):
                 f"timestamp decode needs n_vocab > {TIMESTAMP_BEGIN} "
                 f"(got {self.cfg.n_vocab})")
         toks, avg_lp, ns, lp = decode(
-            self.model, self.params, mel, prompt,
+            self.model, self._run_params, mel, prompt,
             max_tokens=self.max_tokens, eot_id=self.eot,
             suppress=sup, suppress_gte=gte, blank_ids=blanks,
             no_speech_id=nsid, temperature=temperature,

@@ -173,7 +173,10 @@ class WhisperEncoder(nn.Module):
         x = jax.nn.gelu(x, approximate=False)
         x = nn.Conv(d, (3,), strides=(2,), padding=1, name="conv2")(x)
         x = jax.nn.gelu(x, approximate=False)
-        x = x + jnp.asarray(sinusoids(cfg.n_audio_ctx, d))[: x.shape[1]]
+        # cast to x's dtype: the f32 numpy constant would silently promote
+        # a bf16 activation stream back to f32 (bf16 throughput mode)
+        x = x + jnp.asarray(sinusoids(cfg.n_audio_ctx, d),
+                            dtype=x.dtype)[: x.shape[1]]
         for i in range(cfg.n_audio_layer):
             x = ResidualBlock(d, cfg.n_audio_head, name=f"block_{i}")(x)
         return nn.LayerNorm(epsilon=1e-5, name="ln_post")(x)
@@ -372,14 +375,25 @@ def _decode_fn(model: WhisperModel, max_tokens: int, eot_id: int,
     def run(params, mel, prompt, temperature, rng):
         b, p = prompt.shape
         total = p + max_tokens
-        xa = model.apply(params, mel, method=WhisperModel.encode)
+        # compute dtype follows the params (bf16 throughput mode casts the
+        # tree once at the engine — ASREngine(bf16=True)); the f32 log-mel
+        # is cast at the boundary so the whole encoder→decoder stream stays
+        # in one dtype (an f32 xa would re-promote the decoder residual via
+        # cross-attention and break the KV-cache dtype from layer 2 on)
+        flt = [l for l in jax.tree_util.tree_leaves(params)
+               if jnp.issubdtype(l.dtype, jnp.floating)]
+        cdt = flt[0].dtype if flt else jnp.float32
+        xa = model.apply(params, mel.astype(cdt), method=WhisperModel.encode)
         caches = [
-            KVCache.create(b, total, heads, d) for _ in range(cfg.n_text_layer)
+            KVCache.create(b, total, heads, d, dtype=cdt)
+            for _ in range(cfg.n_text_layer)
         ]
-        # prime with the prompt
+        # prime with the prompt; logits consumed in f32 (softmax/logprob
+        # statistics keep full precision regardless of compute dtype)
         logits, caches = model.apply(
             params, prompt, xa, 0, caches, method=WhisperModel.decode_step
         )
+        logits = logits.astype(jnp.float32)
         if no_speech_id is not None:
             ns_prob = jax.nn.softmax(logits[:, 0], axis=-1)[:, no_speech_id]
         else:
@@ -443,7 +457,7 @@ def _decode_fn(model: WhisperModel, max_tokens: int, eot_id: int,
                 params, tok[:, None], xa, p + i, caches,
                 method=WhisperModel.decode_step,
             )
-            lg = logits[:, -1] + sup
+            lg = logits[:, -1].astype(jnp.float32) + sup
             if timestamps:
                 lg = apply_ts_rules(lg, last, prev_ts, max_ts)
             nxt = pick(lg, key)

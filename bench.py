@@ -119,14 +119,15 @@ def bench_asr_encoder(iters: int = 5):
     return 30.0 / dt, F.mfu(fl, dt)
 
 
-def bench_asr_decode(iters: int = 3, max_tokens: int = 32):
+def bench_asr_decode(iters: int = 3, max_tokens: int = 32,
+                     bf16: bool = False):
     """Full Whisper transcription wall (log-mel frontend + encoder + KV-cached
     greedy decode of ``max_tokens``) on a 30 s window → RTFx."""
     import numpy as np
 
     from audiogpt_tpu.engines.asr import ASREngine
 
-    eng = ASREngine(max_tokens=max_tokens)
+    eng = ASREngine(max_tokens=max_tokens, bf16=bf16)
     wav = (np.random.RandomState(0).randn(16000 * 30) * 0.05).astype(
         np.float32)
     eng.transcribe_tokens(wav)  # compile
@@ -765,6 +766,10 @@ def main():
         extra.append({"metric": "whisper_e2e_rtfx_32tok",
                       "value": round(rtfx_d, 2), "unit": "audio_sec_per_sec",
                       "vs_baseline": round(rtfx_d / 10.0, 3)})
+        # NOTE: ASREngine(bf16=True) measured NO win here (0.79× at b1,
+        # 0.96× batched long-audio, 2026-08-20): the decode wall is
+        # per-step dispatch latency, not HBM bytes (BASELINE.md) — so the
+        # bf16 row is not benched per-round
         rtfx_b, rtfx_s, n_win = bench_asr_long_audio()
         extra.append({"metric": "whisper_long_audio_rtfx_batched",
                       "value": round(rtfx_b, 2), "unit": "audio_sec_per_sec",

@@ -101,6 +101,30 @@ class TestASREngine:
         )
         return ASREngine(cfg, max_tokens=4, **kw)
 
+    def test_bf16_throughput_mode(self):
+        """bf16=True keeps f32 masters (parity/ckpt path) while the
+        dispatch copy streams bfloat16 weight bytes — the roofline lever
+        for the weight-streaming-bound decode scan; the params setter must
+        keep the copy in sync across checkpoint loads."""
+        import jax
+        import jax.numpy as jnp
+
+        eng = self._tiny_engine(temperatures=(0.0,), bf16=True)
+        lf = jax.tree_util.tree_leaves(eng.params)
+        lr = jax.tree_util.tree_leaves(eng._run_params)
+        assert all(a.dtype == jnp.float32 for a in lf)
+        assert all(a.dtype == jnp.bfloat16 for a in lr
+                   if a.dtype != jnp.int32)
+        out = eng.transcribe(np.zeros(16000, np.float32))
+        assert isinstance(out, str)
+        toks = eng.transcribe_tokens(np.zeros(16000, np.float32))
+        assert toks.dtype in (np.int32, np.int64)
+        # ckpt-load path: assigning params re-syncs the dispatch copy
+        eng.params = jax.tree.map(lambda a: a * 1.0, eng.params)
+        assert all(a.dtype == jnp.bfloat16
+                   for a in jax.tree_util.tree_leaves(eng._run_params)
+                   if a.dtype != jnp.int32)
+
     def test_temperature_fallback_ladder(self):
         """Rigged thresholds exhaust the ladder: every rung re-dispatches
         the SAME program on the still-failing rows (whisper
