@@ -41,10 +41,15 @@ def bench_vocoder_rtf(frames: int = 1024, iters: int = 20, batch: int = 1,
     eng = VocoderEngine("hifigan", buckets=(frames,), bf16=bf16)
     mel = jnp.asarray(np.random.RandomState(0).randn(batch, frames, 80)
                       .astype(np.float32))
+    # _run_params: the program ``__call__`` dispatches (bf16 mode casts the
+    # tree once; passing eng.params here would bench a DIFFERENT, mixed
+    # f32-weight program — the r3 bf16 row did exactly that, measured
+    # 1.09× slower than the production program, BASELINE.md 2026-08-20)
+    p = eng._run_params
     # AOT-compile ONCE and reuse the same executable for cost analysis and
     # the timing loop (a second traced-path compile costs minutes when the
     # tunnel compile service degrades)
-    compiled = eng._fn.lower(eng.params, mel).compile()
+    compiled = eng._fn.lower(p, mel).compile()
     fl = None
     try:
         ca = compiled.cost_analysis()
@@ -54,11 +59,11 @@ def bench_vocoder_rtf(frames: int = 1024, iters: int = 20, batch: int = 1,
     except Exception:
         pass
     fl = fl or F.hifigan_flops(eng.cfg, frames, batch)
-    _host_sync(compiled(eng.params, mel))  # warmup to completion
-    _host_sync(compiled(eng.params, mel))
+    _host_sync(compiled(p, mel))  # warmup to completion
+    _host_sync(compiled(p, mel))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = compiled(eng.params, mel)
+        out = compiled(p, mel)
         _host_sync(out)  # axon: block_until_ready alone does NOT wait
     dt = (time.perf_counter() - t0) / iters
     audio_sec = batch * frames * eng.hop_size / eng.cfg.sample_rate
