@@ -41,7 +41,7 @@ class PeriodDiscriminator(nn.Module):
             x = nn.Conv(ch, (5, 1), strides=(3, 1), padding=((2, 2), (0, 0)))(x)
             x = _lrelu(x)
             fmaps.append(x)
-        x = nn.Conv(1024, (5, 1), padding=((2, 2), (0, 0)))(x)
+        x = nn.Conv(self.channels[-1], (5, 1), padding=((2, 2), (0, 0)))(x)
         x = _lrelu(x)
         fmaps.append(x)
         x = nn.Conv(1, (3, 1), padding=((1, 1), (0, 0)))(x)
@@ -50,9 +50,9 @@ class PeriodDiscriminator(nn.Module):
 
 class ScaleDiscriminator(nn.Module):
     channels: tuple = (128, 128, 256, 512, 1024, 1024, 1024)
+    groups: tuple = (1, 4, 16, 16, 16, 16, 1)
     kernel_sizes: tuple = (15, 41, 41, 41, 41, 41, 5)
     strides: tuple = (1, 2, 2, 4, 4, 1, 1)
-    groups: tuple = (1, 4, 16, 16, 16, 16, 1)
 
     @nn.compact
     def __call__(self, wav: jnp.ndarray):
@@ -72,6 +72,19 @@ class ScaleDiscriminator(nn.Module):
 class DiscriminatorConfig:
     periods: tuple = (2, 3, 5, 7, 11)
     scales: int = 3
+    #: channel stacks (reference hifigan.py widths). Narrow these for CPU
+    #: tests/demos: the default MSD tower is ~100 GFLOP/step at 2 k samples
+    #: — full-width sub-discriminators on a 1-core host dominate a GAN
+    #: recipe's wall no matter how tiny the generator is. A shorter
+    #: ``scale_channels`` tuple truncates the kernel/stride/group schedules
+    #: with it (zip semantics).
+    period_channels: tuple = (32, 128, 512, 1024)
+    scale_channels: tuple = (128, 128, 256, 512, 1024, 1024, 1024)
+    #: feature_group_count schedule for the MSD stacks. Grouped-conv
+    #: BACKWARD is an XLA CPU slow path (measured 176 ms grad vs 0.8 ms
+    #: fwd on a 3-layer narrow stack) — CPU-mesh tests set all-1s; on TPU
+    #: the reference grouping is fine and is the default
+    scale_groups: tuple = (1, 4, 16, 16, 16, 16, 1)
 
 
 class HifiGANDiscriminator(nn.Module):
@@ -84,12 +97,15 @@ class HifiGANDiscriminator(nn.Module):
     def __call__(self, wav: jnp.ndarray):
         logits, fmaps = [], []
         for p in self.cfg.periods:
-            l, f = PeriodDiscriminator(p, name=f"mpd_{p}")(wav)
+            l, f = PeriodDiscriminator(p, self.cfg.period_channels,
+                                       name=f"mpd_{p}")(wav)
             logits.append(l)
             fmaps.append(f)
         x = wav
         for i in range(self.cfg.scales):
-            l, f = ScaleDiscriminator(name=f"msd_{i}")(x)
+            l, f = ScaleDiscriminator(self.cfg.scale_channels,
+                                      self.cfg.scale_groups,
+                                      name=f"msd_{i}")(x)
             logits.append(l)
             fmaps.append(f)
             if i + 1 < self.cfg.scales:

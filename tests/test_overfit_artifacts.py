@@ -2,7 +2,8 @@
 sets that overfit in minutes, then the TRAINED weights must produce the
 right artifact — turning "loss decreases" into "trained weights work":
 
-  * vocoder_gan: sine fixture → reconstruction SNR beats random init,
+  * vocoder_gan: sine fixture → trained spectrum lands ≥4× closer to the
+    target than random init (phase-invariant losses ⇒ spectral metric),
   * fs2: token-determined mel target → inference-mode mel L1 beats random
     init AND the trained duration predictor emits a real-length clip,
   * ldm: single mel image → DDIM sample lands near the (VAE-roundtripped)
@@ -22,14 +23,6 @@ import numpy as np
 from audiogpt_tpu.train import OptimConfig, Trainer, TrainerConfig
 
 
-def _snr_db(ref: np.ndarray, est: np.ndarray) -> float:
-    ref = np.asarray(ref, np.float64)
-    est = np.asarray(est, np.float64)[: len(ref)]
-    ref = ref[: len(est)]
-    err = ref - est
-    return 10.0 * np.log10(ref.var() / max(err.var(), 1e-12))
-
-
 @pytest.mark.slow
 def test_overfit_vocoder_gan_sine(tmp_path):
     from audiogpt_tpu.models.vocoder import HifiGANConfig
@@ -41,8 +34,15 @@ def test_overfit_vocoder_gan_sine(tmp_path):
         upsample_kernel_sizes=(16, 16), upsample_initial_channel=32,
         resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3),))
     frames, hop = 32, 64
+    # narrow discriminator stacks: the DEFAULT widths are the production
+    # (reference) ones — ~50 s/step on this 1-core host, which made this
+    # demo unrunnable inside the suite (full-width MSD is ~100 GFLOP/step
+    # even with a toy generator)
     task = VocoderGANTask(VocoderGANTaskConfig(
-        gen=gen_cfg, disc=DiscriminatorConfig(periods=(2, 3), scales=2),
+        gen=gen_cfg, disc=DiscriminatorConfig(periods=(2, 3), scales=2,
+                                              period_channels=(16, 64),
+                                              scale_channels=(16, 32, 64),
+                                              scale_groups=(1, 1, 1)),
         segment_frames=frames,
         optim_gen=OptimConfig(optimizer="adamw", lr=1e-3,
                               schedule="constant", clip_grad_norm=0.0),
@@ -61,17 +61,30 @@ def test_overfit_vocoder_gan_sine(tmp_path):
         work_dir=str(tmp_path), max_updates=400, val_check_interval=10_000,
         log_interval=200, num_sanity_val_steps=0, use_tensorboard=False))
     state0 = trainer.init_state(jax.random.PRNGKey(0))
-    wav_random = np.asarray(task.gen.apply(
-        state0["params"]["gen"], jnp.asarray(cond))).reshape(-1)
 
+    from audiogpt_tpu.train.stft_loss import stft_loss
+
+    def spec_l1(params) -> float:
+        """Log-STFT-magnitude L1 to the target — the quantity the recipe's
+        dominant loss term (lambda_mel=45) actually controls. Waveform SNR
+        is NOT asserted: every reconstruction term (mel L1, multi-res STFT)
+        is phase-invariant, so a perfectly trained generator may emit the
+        right spectrum at an arbitrary phase and score ~0 dB SNR."""
+        wav = task.gen.apply(params["gen"], jnp.asarray(cond))
+        if wav.ndim == 3:
+            wav = wav[..., 0]
+        _, mag = stft_loss(wav, jnp.asarray(sine[None]),
+                           resolutions=((512, 128, 512),))
+        return float(mag)
+
+    l1_random = spec_l1(state0["params"])
     state = trainer.fit(iter([batch] * 400))
-    wav_trained = np.asarray(task.gen.apply(
-        state["params"]["gen"], jnp.asarray(cond))).reshape(-1)
+    l1_trained = spec_l1(state["params"])
 
-    snr_r, snr_t = _snr_db(sine, wav_random), _snr_db(sine, wav_trained)
-    assert snr_t > snr_r + 6.0, f"no SNR gain: random {snr_r:.1f} dB, " \
-                                f"trained {snr_t:.1f} dB"
-    assert snr_t > 3.0, f"trained sine reconstruction too poor: {snr_t:.1f} dB"
+    # measured 0.062 on this recipe (2026-08-20); 0.25 leaves 4× headroom
+    assert l1_trained < 0.25 * l1_random, \
+        f"trained spectrum not close: random {l1_random:.3f}, " \
+        f"trained {l1_trained:.3f}"
 
 
 @pytest.mark.slow

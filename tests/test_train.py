@@ -296,7 +296,8 @@ def test_vocoder_gan_steps(tmp_path):
             resblock_dilation_sizes=((1, 3),)),
         disc=__import__("audiogpt_tpu.models.vocoder.discriminators",
                         fromlist=["DiscriminatorConfig"]).DiscriminatorConfig(
-            periods=(2, 3), scales=2),
+            periods=(2, 3), scales=2, period_channels=(16, 64),
+            scale_channels=(16, 32, 64), scale_groups=(1, 1, 1)),
         segment_frames=16)
     task = VocoderGANTask(cfg)
     tcfg = TrainerConfig(work_dir=str(tmp_path), max_updates=3,

@@ -66,7 +66,10 @@ def test_training_task(tmp_path):
 
     cfg = VISingerTaskConfig(
         model=_tiny_cfg(),
-        disc=DiscriminatorConfig(periods=(2,), scales=1))
+        disc=DiscriminatorConfig(periods=(2,), scales=1,
+                                 period_channels=(16, 64),
+                                 scale_channels=(16, 32, 64),
+                                 scale_groups=(1, 1, 1)))
     task = VISingerTask(cfg)
     tcfg = TrainerConfig(work_dir=str(tmp_path), max_updates=2,
                          val_check_interval=100, log_interval=1,
